@@ -1,0 +1,202 @@
+"""Frozen configuration dataclasses and named presets.
+
+The reference (barronalex/Tacotron) spreads hyperparameters across module-level
+constants in ``audio.py`` and the model files (SURVEY.md §5.6 [R]); the rebuild
+centralises everything in one frozen dataclass tree that is serialised into every
+checkpoint and run dir. Presets mirror the five driver configs (BASELINE.json:6-12).
+
+All values trace to the Tacotron paper (arXiv 1703.10135, Table 1 / §3) unless
+noted; LJSpeech audio parameters follow the common 22.05 kHz convention.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+
+@dataclass(frozen=True)
+class AudioConfig:
+    """DSP parameters (reference: audio.py module constants [R])."""
+
+    sample_rate: int = 22050          # LJSpeech native rate
+    n_fft: int = 2048                 # paper Table 1: 2048-point Fourier transform
+    # 50 ms frame / 12.5 ms hop (paper Table 1), rounded to samples at 22.05 kHz
+    win_length: int = 1102
+    hop_length: int = 275
+    n_mels: int = 80                  # paper Table 1: 80-band mel
+    fmin: float = 0.0
+    fmax: float | None = None         # None -> sr / 2
+    preemphasis: float = 0.97         # paper Table 1
+    ref_level_db: float = 20.0
+    min_level_db: float = -100.0
+    griffin_lim_iters: int = 1000     # reference runs ~1000 iterations (BASELINE.json:10)
+    griffin_lim_power: float = 1.5    # magnitude raised to 1.5 before inversion (paper §3.3)
+
+    @property
+    def n_freq(self) -> int:
+        return self.n_fft // 2 + 1    # 1025 linear bins
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Tacotron architecture (paper Table 1; SURVEY.md §2.1 #4-#11)."""
+
+    vocab_size: int = 256             # overwritten by dataset vocab at train time
+    embed_dim: int = 256              # character embedding
+    prenet_dims: tuple[int, ...] = (256, 128)
+    prenet_dropout: float = 0.5       # active at train AND inference (paper §3.2)
+    encoder_bank_k: int = 16          # conv bank widths 1..K
+    encoder_bank_channels: int = 128
+    encoder_proj_dims: tuple[int, int] = (128, 128)
+    postnet_bank_k: int = 8
+    postnet_bank_channels: int = 128
+    postnet_proj_dims: tuple[int, int] = (256, 80)
+    highway_layers: int = 4
+    highway_dim: int = 128
+    gru_dim: int = 128                # per-direction CBHG biGRU width
+    attention_dim: int = 256          # Bahdanau attention depth
+    attention_gru_dim: int = 256      # attention RNN
+    decoder_gru_dim: int = 256        # each of the 2 residual decoder GRUs
+    decoder_depth: int = 2            # residual decoder GRU layers
+    n_mels: int = 80
+    n_freq: int = 1025
+    r: int = 2                        # reduction factor: frames per decoder step
+    max_decode_steps: int = 500       # inference: fixed step count, no stop token (paper §3.2)
+    cross_replica_batchnorm: bool = True  # SURVEY.md §7.3 item 4
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"    # bfloat16 on TPU for speed
+
+    @property
+    def memory_dim(self) -> int:
+        return 2 * self.gru_dim       # bidirectional GRU concat
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimisation (paper §3.3; SURVEY.md §2.1 #13)."""
+
+    batch_size: int = 32              # global batch (paper §3.3)
+    learning_rate: float = 1e-3
+    # lr 1e-3 -> 5e-4 @500k -> 3e-4 @1M -> 1e-4 @2M (paper §3.3)
+    lr_boundaries: tuple[int, ...] = (500_000, 1_000_000, 2_000_000)
+    lr_values: tuple[float, ...] = (1e-3, 5e-4, 3e-4, 1e-4)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    grad_clip_norm: float | None = 1.0  # present in TF1-era Tacotrons (SURVEY.md #13, must-verify)
+    mask_padding: bool = False        # paper §3.3 trains on zero-padded frames unmasked
+    loss_linear_weight: float = 1.0   # equal weights (paper §3.3)
+    checkpoint_every: int = 1000
+    summary_every: int = 100
+    max_steps: int = 2_000_000
+    seed: int = 0
+    remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh (SURVEY.md §2.3/§2.4): DP is the primary strategy; a `model`
+    axis is kept in the API (default size 1) so wide projections *can* shard."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    model_parallel_size: int = 1
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "ljspeech"
+    data_dir: str = "data/ljspeech"
+    num_buckets: int = 8              # SURVEY.md §7.3 item 3: keep compile count small
+    max_text_len: int = 256
+    max_frames: int = 1024            # padded T_out ceiling (LJSpeech max ~10 s)
+    prefetch: int = 2
+
+
+@dataclass(frozen=True)
+class Config:
+    audio: AudioConfig = field(default_factory=AudioConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    name: str = "default"
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+
+        def _mk(cls, d):
+            fields = {f.name: f for f in dataclasses.fields(cls)}
+            kw = {}
+            for k, v in d.items():
+                if k not in fields:
+                    continue
+                ft = fields[k].type
+                if isinstance(v, list):
+                    v = tuple(v)
+                kw[k] = v
+            return cls(**kw)
+
+        return Config(
+            audio=_mk(AudioConfig, raw.get("audio", {})),
+            model=_mk(ModelConfig, raw.get("model", {})),
+            train=_mk(TrainConfig, raw.get("train", {})),
+            mesh=_mk(MeshConfig, raw.get("mesh", {})),
+            data=_mk(DataConfig, raw.get("data", {})),
+            name=raw.get("name", "default"),
+        )
+
+
+def _tiny_model() -> ModelConfig:
+    # Driver config 1 (BASELINE.json:7): embed 64, CBHG K=4, decoder GRU 128, r=5
+    return ModelConfig(
+        embed_dim=64,
+        prenet_dims=(64, 32),
+        encoder_bank_k=4,
+        encoder_bank_channels=32,
+        encoder_proj_dims=(32, 32),
+        postnet_bank_k=4,
+        postnet_bank_channels=32,
+        postnet_proj_dims=(64, 80),
+        highway_layers=2,
+        highway_dim=32,
+        gru_dim=32,
+        attention_dim=64,
+        attention_gru_dim=128,
+        decoder_gru_dim=128,
+        r=5,
+        max_decode_steps=40,
+    )
+
+
+PRESETS: dict[str, Config] = {
+    # BASELINE.json:7 — tiny teacher-forced step, 8 utterances, CPU
+    "tiny_cpu": Config(
+        name="tiny_cpu",
+        model=_tiny_model(),
+        train=TrainConfig(batch_size=8, checkpoint_every=50, summary_every=10),
+        data=DataConfig(num_buckets=1, max_text_len=64, max_frames=200),
+    ),
+    # BASELINE.json:8 — full CBHG encoder fwd/bwd parity
+    "cbhg_parity": Config(name="cbhg_parity"),
+    # BASELINE.json:9 — full Tacotron (256-d, r=2), bucketed, single chip
+    "full_1chip": Config(name="full_1chip"),
+    # BASELINE.json:10 — autoregressive inference + 1000-iter Griffin-Lim
+    "synth_gl1000": Config(name="synth_gl1000"),
+    # BASELINE.json:11 — multi-host DP training
+    "pod_dp": Config(name="pod_dp"),
+}
+
+
+def get_config(name: str) -> Config:
+    return PRESETS[name]

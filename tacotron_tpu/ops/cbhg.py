@@ -1,0 +1,46 @@
+"""CBHG: Conv Bank + Highway + bidirectional GRU (paper §3.1, Table 1).
+
+Rebuild of the reference's ``cbhg`` graph fn (SURVEY.md §2.1 #7 [R]):
+conv bank(1..K) -> max-pool (width 2, stride 1) -> width-3 conv projections
+(ReLU then linear, batch-normed) -> residual add with the input -> highway x4
+-> biGRU. Used with K=16/proj(128,128) in the encoder and K=8/proj(256,80) in
+the post-net.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from tacotron_tpu.ops.gru import bidirectional_gru
+from tacotron_tpu.ops.modules import ConvBank, Conv1dProjection, HighwayStack
+
+
+class CBHG(nn.Module):
+    k: int
+    bank_channels: int
+    proj_dims: Sequence[int]
+    highway_layers: int
+    highway_dim: int
+    gru_dim: int
+    train: bool
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, lengths=None):
+        # x: (B, T, C_in); returns (B, T, 2*gru_dim)
+        residual = x
+        h = ConvBank(self.k, self.bank_channels, self.train,
+                     self.param_dtype, name="bank")(x)
+        # max pool width 2, stride 1, SAME
+        h = nn.max_pool(h, window_shape=(2,), strides=(1,), padding="SAME")
+        h = Conv1dProjection(tuple(self.proj_dims), self.train,
+                             param_dtype=self.param_dtype, name="proj")(h)
+        h = h + residual  # proj_dims[-1] must equal C_in
+        h = HighwayStack(self.highway_layers, self.highway_dim,
+                         self.param_dtype, name="highway")(h)
+        return bidirectional_gru(self.gru_dim, self.param_dtype, name="bigru")(
+            h, lengths=lengths
+        )

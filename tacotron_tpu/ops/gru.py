@@ -1,0 +1,135 @@
+"""GRU cell and sequence scans.
+
+TPU-native replacement for the reference's ``tf.nn.rnn_cell.GRUCell`` +
+``bidirectional_dynamic_rnn`` / ``dynamic_rnn`` while_loops (SURVEY.md §2.2
+[R]). Gate semantics match TF1's GRUCell exactly (the parity contract,
+pinned in tests/unit/test_gru.py):
+
+    r, u = sigmoid(W_g [x, h] + b_g)        # b_g initialised to 1.0
+    c    = tanh(W_c [x, r * h] + b_c)
+    h'   = u * h + (1 - u) * c
+
+Sequences run under ``jax.lax.scan`` with the two gate matmuls fused into one
+``[x, h] @ W`` MXU dot per step. The input-to-hidden half of the gate matmul
+for the *whole sequence* is hoisted out of the scan (one big (B*T, D) @ W dot
+that XLA tiles onto the MXU) — only the recurrent half runs sequentially.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class GRUCell(nn.Module):
+    """TF1-semantics GRU cell. One step: (h, x) -> (h', h')."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, x):
+        d = self.features
+        dense_g = nn.Dense(
+            2 * d,
+            name="gates",
+            bias_init=nn.initializers.ones,  # TF GRUCell gate bias init = 1.0
+            param_dtype=self.param_dtype,
+        )
+        dense_c = nn.Dense(d, name="candidate", param_dtype=self.param_dtype)
+        ru = jax.nn.sigmoid(dense_g(jnp.concatenate([x, h], axis=-1)))
+        r, u = jnp.split(ru, 2, axis=-1)
+        c = jnp.tanh(dense_c(jnp.concatenate([x, r * h], axis=-1)))
+        h_new = u * h + (1.0 - u) * c
+        return h_new, h_new
+
+
+class _ScanGRU(nn.Module):
+    """Scan a GRUCell over time with the input-projection hoisted.
+
+    Equivalent math to GRUCell per step, but the x-half of both matmuls is
+    computed for all timesteps at once before the scan.
+    """
+
+    features: int
+    reverse: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, h0=None, lengths=None):
+        # xs: (B, T, D_in)
+        b, t, _ = xs.shape
+        d = self.features
+        # Parameters laid out to match GRUCell's fused [x, h] @ W contract.
+        wg_x = nn.Dense(2 * d, name="gates_x", bias_init=nn.initializers.ones,
+                        param_dtype=self.param_dtype)
+        wg_h = nn.Dense(2 * d, name="gates_h", use_bias=False,
+                        param_dtype=self.param_dtype)
+        wc_x = nn.Dense(d, name="cand_x", param_dtype=self.param_dtype)
+        wc_h = nn.Dense(d, name="cand_h", use_bias=False,
+                        param_dtype=self.param_dtype)
+
+        gx = wg_x(xs)   # (B, T, 2d) — hoisted: one big MXU matmul
+        cx = wc_x(xs)   # (B, T, d)
+
+        if h0 is None:
+            h0 = jnp.zeros((b, d), xs.dtype)
+
+        if self.reverse and lengths is not None:
+            # Reverse only the valid prefix of each sequence so padding stays
+            # at the tail (matches TF bidirectional_dynamic_rnn sequence_length
+            # handling).
+            idx = jnp.arange(t)
+            rev = jnp.where(idx[None, :] < lengths[:, None],
+                            lengths[:, None] - 1 - idx[None, :], idx[None, :])
+            gx = jnp.take_along_axis(gx, rev[..., None], axis=1)
+            cx = jnp.take_along_axis(cx, rev[..., None], axis=1)
+        elif self.reverse:
+            gx, cx = gx[:, ::-1], cx[:, ::-1]
+
+        def step(h, inp):
+            gx_t, cx_t = inp
+            ru = jax.nn.sigmoid(gx_t + wg_h(h))
+            r, u = jnp.split(ru, 2, axis=-1)
+            c = jnp.tanh(cx_t + wc_h(r * h))
+            h_new = u * h + (1.0 - u) * c
+            return h_new, h_new
+
+        h_last, ys = jax.lax.scan(step, h0, (gx.swapaxes(0, 1), cx.swapaxes(0, 1)))
+        ys = ys.swapaxes(0, 1)  # (B, T, d)
+
+        if self.reverse and lengths is not None:
+            idx = jnp.arange(t)
+            rev = jnp.where(idx[None, :] < lengths[:, None],
+                            lengths[:, None] - 1 - idx[None, :], idx[None, :])
+            ys = jnp.take_along_axis(ys, rev[..., None], axis=1)
+        elif self.reverse:
+            ys = ys[:, ::-1]
+        return ys, h_last
+
+
+class unidirectional_gru(nn.Module):
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, h0=None):
+        ys, h = _ScanGRU(self.features, reverse=False, param_dtype=self.param_dtype,
+                         name="fwd")(xs, h0)
+        return ys, h
+
+
+class bidirectional_gru(nn.Module):
+    """Concat of forward and backward GRU outputs: (B, T, 2*features)."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs, lengths=None):
+        fwd, _ = _ScanGRU(self.features, reverse=False, param_dtype=self.param_dtype,
+                          name="fwd")(xs)
+        bwd, _ = _ScanGRU(self.features, reverse=True, param_dtype=self.param_dtype,
+                          name="bwd")(xs, lengths=lengths)
+        return jnp.concatenate([fwd, bwd], axis=-1)

@@ -1,0 +1,135 @@
+"""Reusable Tacotron building blocks: prenet, conv bank, projections, highway.
+
+TPU-native rebuild of the reference's ``models/ops.py`` (SURVEY.md §2.1 #4-#7
+[R]). Convolutions use ``lax.conv_general_dilated`` via flax (NWC layout — the
+channel-last layout XLA tiles best onto the MXU); the conv *bank* evaluates all
+K kernel widths as one padded weight tensor where possible (see
+ops/pallas/conv_bank.py for the fused kernel variant).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class Prenet(nn.Module):
+    """FC-ReLU-dropout stack; dropout active at train AND inference
+    (paper §3.2, Table 1; SURVEY.md #4). Reference: models/ops.py prenet [R]."""
+
+    dims: Sequence[int] = (256, 128)
+    dropout: float = 0.5
+    deterministic: bool = False
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dims):
+            x = nn.relu(nn.Dense(d, name=f"fc{i}", param_dtype=self.param_dtype)(x))
+            x = nn.Dropout(self.dropout, deterministic=self.deterministic,
+                           name=f"drop{i}")(x)
+        return x
+
+
+class BatchNorm(nn.Module):
+    """Batch norm over (batch, time) for NWC activations.
+
+    Under jit+GSPMD the batch mean/var are computed over the *global* sharded
+    batch, which is the cross-replica choice of SURVEY.md §7.3 item 4; no
+    explicit axis_name is needed on the jit path.
+    """
+
+    train: bool
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.BatchNorm(
+            use_running_average=not self.train,
+            momentum=0.99,
+            epsilon=1e-3,
+            param_dtype=self.param_dtype,
+            name="bn",
+        )(x)
+
+
+class ConvBank(nn.Module):
+    """K parallel 1-D convs with widths 1..K, each ``channels`` wide, ReLU +
+    batch-norm, stacked on the channel axis (paper Table 1; SURVEY.md #5).
+
+    All K convolutions share one BN (applied on the stacked output) in some TF
+    forks and per-branch BN in others; per-branch is used here to match the
+    reference structure [R] (one BN per conv1d call).
+    """
+
+    k: int
+    channels: int
+    train: bool
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, C)
+        outs = []
+        for width in range(1, self.k + 1):
+            h = nn.Conv(
+                self.channels,
+                kernel_size=(width,),
+                padding="SAME",
+                use_bias=False,
+                name=f"conv{width}",
+                param_dtype=self.param_dtype,
+            )(x)
+            h = BatchNorm(self.train, self.param_dtype, name=f"bn{width}")(h)
+            outs.append(nn.relu(h))
+        return jnp.concatenate(outs, axis=-1)  # (B, T, K*channels)
+
+
+class Conv1dProjection(nn.Module):
+    """Width-3 conv projections after the bank (SURVEY.md #7): first ReLU,
+    second linear, each batch-normed."""
+
+    dims: Sequence[int]
+    train: bool
+    activations: Sequence[Callable | None] = (nn.relu, None)
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        for i, (d, act) in enumerate(zip(self.dims, self.activations)):
+            x = nn.Conv(d, kernel_size=(3,), padding="SAME", use_bias=False,
+                        name=f"proj{i}", param_dtype=self.param_dtype)(x)
+            x = BatchNorm(self.train, self.param_dtype, name=f"bn{i}")(x)
+            if act is not None:
+                x = act(x)
+        return x
+
+
+class HighwayStack(nn.Module):
+    """N highway layers: H(x)*T(x) + x*(1-T(x)); gate bias init negative
+    (paper Table 1; SURVEY.md #6). A Dense resize precedes the stack when the
+    input width differs from ``dim`` (reference: highwaynet [R])."""
+
+    layers: int = 4
+    dim: int = 128
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        if x.shape[-1] != self.dim:
+            x = nn.Dense(self.dim, name="resize", param_dtype=self.param_dtype)(x)
+        for i in range(self.layers):
+            h = nn.relu(nn.Dense(self.dim, name=f"H{i}", param_dtype=self.param_dtype)(x))
+            t = jax.nn.sigmoid(
+                nn.Dense(
+                    self.dim,
+                    name=f"T{i}",
+                    bias_init=nn.initializers.constant(-1.0),
+                    param_dtype=self.param_dtype,
+                )(x)
+            )
+            x = h * t + x * (1.0 - t)
+        return x
