@@ -34,6 +34,12 @@ class BahdanauAttention(nn.Module):
         self.v = self.param("v", nn.initializers.lecun_normal(), (self.dim, 1),
                             self.param_dtype)
 
+    def full_step(self, query, memory, mask=None):
+        """process_memory + one attention step in one call — used to init all
+        params and as the unfused reference path in tests."""
+        keys = self.process_memory(memory)
+        return self(query, keys, memory, mask)
+
     def process_memory(self, memory):
         """(B, T_in, D_mem) -> keys (B, T_in, dim). Hoisted out of the scan."""
         return self.memory_proj(memory)

@@ -64,11 +64,12 @@ class _ScanGRU(nn.Module):
         # Parameters laid out to match GRUCell's fused [x, h] @ W contract.
         wg_x = nn.Dense(2 * d, name="gates_x", bias_init=nn.initializers.ones,
                         param_dtype=self.param_dtype)
-        wg_h = nn.Dense(2 * d, name="gates_h", use_bias=False,
-                        param_dtype=self.param_dtype)
         wc_x = nn.Dense(d, name="cand_x", param_dtype=self.param_dtype)
-        wc_h = nn.Dense(d, name="cand_h", use_bias=False,
-                        param_dtype=self.param_dtype)
+        # Recurrent weights as raw params: flax modules can't be applied
+        # inside a raw lax.scan body, and the scan carries only h anyway.
+        init = nn.initializers.lecun_normal()
+        wg_h = self.param("gates_h", lambda k: {"kernel": init(k, (d, 2 * d), self.param_dtype)})["kernel"]
+        wc_h = self.param("cand_h", lambda k: {"kernel": init(k, (d, d), self.param_dtype)})["kernel"]
 
         gx = wg_x(xs)   # (B, T, 2d) — hoisted: one big MXU matmul
         cx = wc_x(xs)   # (B, T, d)
@@ -90,9 +91,9 @@ class _ScanGRU(nn.Module):
 
         def step(h, inp):
             gx_t, cx_t = inp
-            ru = jax.nn.sigmoid(gx_t + wg_h(h))
+            ru = jax.nn.sigmoid(gx_t + h @ wg_h)
             r, u = jnp.split(ru, 2, axis=-1)
-            c = jnp.tanh(cx_t + wc_h(r * h))
+            c = jnp.tanh(cx_t + (r * h) @ wc_h)
             h_new = u * h + (1.0 - u) * c
             return h_new, h_new
 
