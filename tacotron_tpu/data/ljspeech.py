@@ -1,0 +1,166 @@
+"""LJSpeech preprocessing: metadata.csv + wavs -> packed feature arrays.
+
+Rebuild of the reference's ``preprocess.py`` (SURVEY.md §2.1 #2, §3.1 [R]).
+The reference wrote one .npy per utterance via librosa on the host; here
+feature extraction runs *batched on device* through the jnp DSP pipeline
+(utterances are chunked, padded to the chunk max, processed in one jit call,
+then trimmed), and features are packed into single contiguous arrays with an
+offset index — the memmap-friendly layout a multi-host input pipeline shards
+by byte range.
+
+Storage layout under ``data_dir``:
+    vocab.json                 char -> id
+    index.json                 [{id, text_offset, text_len, frame_offset, n_frames}]
+    texts.npy    int32  (sum_text_len,)
+    mels.npy     float16 (sum_frames, n_mels)      normalised [0,1]
+    linears.npy  float16 (sum_frames, n_freq)
+    config.json  audio config used (parity guard)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import wave
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tacotron_tpu.config import AudioConfig
+from tacotron_tpu.data.vocab import Vocab
+from tacotron_tpu.dsp import melspectrogram, spectrogram
+
+
+def load_wav(path: str, expect_rate: int | None = None) -> np.ndarray:
+    """16-bit PCM mono wav -> float32 in [-1, 1] (stdlib; librosa-free)."""
+    with wave.open(path, "rb") as f:
+        assert f.getnchannels() == 1, f"{path}: expected mono"
+        assert f.getsampwidth() == 2, f"{path}: expected 16-bit PCM"
+        rate = f.getframerate()
+        if expect_rate is not None and rate != expect_rate:
+            raise ValueError(f"{path}: rate {rate} != expected {expect_rate}")
+        data = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
+    return (data.astype(np.float32)) / 32768.0
+
+
+def save_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
+    pcm = (np.clip(wav, -1.0, 1.0) * 32767.0).astype("<i2")
+    with wave.open(path, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(sample_rate)
+        f.writeframes(pcm.tobytes())
+
+
+def read_metadata(corpus_dir: str) -> list[tuple[str, str, str]]:
+    """LJSpeech metadata.csv: id|transcript|normalized -> [(id, wav_path, text)]."""
+    entries = []
+    with open(os.path.join(corpus_dir, "metadata.csv"), encoding="utf-8") as f:
+        for line in f:
+            parts = line.rstrip("\n").split("|")
+            if len(parts) < 2:
+                continue
+            utt_id = parts[0]
+            text = parts[2] if len(parts) > 2 and parts[2] else parts[1]
+            wav = os.path.join(corpus_dir, "wavs", utt_id + ".wav")
+            entries.append((utt_id, wav, text))
+    return entries
+
+
+def _features_batched(wavs: list[np.ndarray], cfg: AudioConfig, chunk: int = 16):
+    """Compute (mel, linear, n_frames) per wav, batched+padded per chunk."""
+    extract = jax.jit(
+        lambda y: (melspectrogram(y, cfg), spectrogram(y, cfg)),
+        static_argnums=(),
+    )
+    out = []
+    i = 0
+    while i < len(wavs):
+        group = wavs[i : i + chunk]
+        max_len = max(len(w) for w in group)
+        # one compiled shape per (chunk, max_len) pair; quantise max_len to
+        # hop*64 to bound recompiles
+        q = cfg.hop_length * 64
+        max_len = ((max_len + q - 1) // q) * q
+        padded = np.zeros((len(group), max_len), np.float32)
+        for j, w in enumerate(group):
+            padded[j, : len(w)] = w
+        mel, lin = extract(jnp.asarray(padded))
+        mel, lin = np.asarray(mel), np.asarray(lin)
+        for j, w in enumerate(group):
+            n_frames = len(w) // cfg.hop_length + 1
+            out.append((mel[j, :n_frames], lin[j, :n_frames], n_frames))
+        i += chunk
+    return out
+
+
+def preprocess(corpus_dir: str, data_dir: str, cfg: AudioConfig,
+               limit: int | None = None, chunk: int = 16) -> dict:
+    """Run the full offline prep (reference: python preprocess.py <dataset>)."""
+    os.makedirs(data_dir, exist_ok=True)
+    entries = read_metadata(corpus_dir)
+    if limit:
+        entries = entries[:limit]
+
+    vocab = Vocab.build([t for _, _, t in entries])
+    vocab.save(os.path.join(data_dir, "vocab.json"))
+
+    wavs = [load_wav(p, cfg.sample_rate) for _, p, _ in entries]
+    feats = _features_batched(wavs, cfg, chunk)
+
+    index = []
+    text_parts, mel_parts, lin_parts = [], [], []
+    text_off = frame_off = 0
+    for (utt_id, _, text), (mel, lin, n_frames) in zip(entries, feats):
+        ids = vocab.encode(text)
+        index.append({
+            "id": utt_id,
+            "text_offset": text_off, "text_len": int(len(ids)),
+            "frame_offset": frame_off, "n_frames": int(n_frames),
+        })
+        text_parts.append(ids)
+        mel_parts.append(mel.astype(np.float16))
+        lin_parts.append(lin.astype(np.float16))
+        text_off += len(ids)
+        frame_off += n_frames
+
+    np.save(os.path.join(data_dir, "texts.npy"), np.concatenate(text_parts))
+    np.save(os.path.join(data_dir, "mels.npy"), np.concatenate(mel_parts, axis=0))
+    np.save(os.path.join(data_dir, "linears.npy"), np.concatenate(lin_parts, axis=0))
+    with open(os.path.join(data_dir, "index.json"), "w") as f:
+        json.dump(index, f)
+    with open(os.path.join(data_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2)
+    return {"n_utterances": len(index), "vocab_size": len(vocab),
+            "total_frames": frame_off}
+
+
+def generate_synthetic_corpus(corpus_dir: str, n: int = 8, sample_rate: int = 22050,
+                              seed: int = 0, min_sec: float = 0.4,
+                              max_sec: float = 1.2) -> None:
+    """Synthetic LJSpeech-format corpus for tests/CI (no LJSpeech on disk —
+    SURVEY.md §0). Each utterance is a tone chord keyed to its text."""
+    rs = np.random.default_rng(seed)
+    os.makedirs(os.path.join(corpus_dir, "wavs"), exist_ok=True)
+    words = ["the quick brown fox", "jumps over", "a lazy dog", "hello world",
+             "text to speech", "on tensor processing units", "griffin lim",
+             "mel spectrogram", "attention alignment", "teacher forcing"]
+    lines = []
+    for i in range(n):
+        utt_id = f"SYN-{i:04d}"
+        text = words[i % len(words)] + f" number {i}"
+        dur = float(rs.uniform(min_sec, max_sec))
+        t = np.arange(int(dur * sample_rate)) / sample_rate
+        f0 = 150.0 + 35.0 * (i % 7)
+        wav = (0.45 * np.sin(2 * np.pi * f0 * t)
+               + 0.25 * np.sin(2 * np.pi * 2.5 * f0 * t)
+               + 0.02 * rs.standard_normal(len(t)))
+        env = np.minimum(1.0, np.minimum(t / 0.05, (dur - t) / 0.05).clip(0))
+        save_wav(os.path.join(corpus_dir, "wavs", utt_id + ".wav"),
+                 (wav * env).astype(np.float32), sample_rate)
+        lines.append(f"{utt_id}|{text}|{text}")
+    with open(os.path.join(corpus_dir, "metadata.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")

@@ -1,0 +1,131 @@
+"""Data pipeline tests: vocab, synthetic corpus preprocess, bucketing, loader."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tacotron_tpu.config import AudioConfig
+from tacotron_tpu.data import Vocab, ljspeech
+from tacotron_tpu.data.buckets import BucketSpec, assign_bucket, make_buckets
+from tacotron_tpu.data.loader import DataLoader, Dataset
+
+# Small audio config so preprocess is fast on CPU
+ACFG = AudioConfig(n_fft=512, win_length=400, hop_length=128, n_mels=20)
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    ljspeech.generate_synthetic_corpus(str(d), n=10, min_sec=0.3, max_sec=0.8)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def data_dir(corpus, tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    stats = ljspeech.preprocess(corpus, str(d), ACFG, chunk=4)
+    assert stats["n_utterances"] == 10
+    return str(d)
+
+
+class TestVocab:
+    def test_roundtrip(self, tmp_path):
+        v = Vocab.build(["Hello World", "abc xyz!"])
+        ids = v.encode("hello abc")
+        assert ids.dtype == np.int32
+        assert v.decode(ids) == "hello abc"
+        assert 0 not in ids  # pad id never assigned to a char
+        p = str(tmp_path / "vocab.json")
+        v.save(p)
+        v2 = Vocab.load(p)
+        assert v2.char_to_id == v.char_to_id
+
+    def test_normalization(self):
+        v = Vocab.build(["A  B\tC"])
+        assert v.decode(v.encode("a B  c")) == "a b c"
+
+
+class TestPreprocess:
+    def test_layout_and_shapes(self, data_dir):
+        ds = Dataset(data_dir)
+        assert len(ds) == 10
+        text, mel, lin = ds.utterance(0)
+        assert mel.shape[1] == ACFG.n_mels
+        assert lin.shape[1] == ACFG.n_freq
+        assert mel.shape[0] == lin.shape[0]
+        assert text.ndim == 1 and len(text) > 0
+        assert 0.0 <= float(mel.min()) and float(mel.max()) <= 1.0
+
+    def test_frame_count_matches_formula(self, data_dir, corpus):
+        ds = Dataset(data_dir)
+        wav = ljspeech.load_wav(os.path.join(corpus, "wavs", "SYN-0000.wav"))
+        assert ds.index[0]["n_frames"] == len(wav) // ACFG.hop_length + 1
+
+    def test_batched_extraction_matches_single(self, data_dir, corpus):
+        """Chunk-padded batched features must equal per-utterance features."""
+        import jax.numpy as jnp
+        from tacotron_tpu.dsp import melspectrogram
+        ds = Dataset(data_dir)
+        wav = ljspeech.load_wav(os.path.join(corpus, "wavs", "SYN-0003.wav"))
+        single = np.asarray(melspectrogram(jnp.asarray(wav), ACFG))
+        _, stored, _ = ds.utterance(3)
+        n = ds.index[3]["n_frames"]
+        # tail frames whose window crosses the signal end see zero-padding in
+        # the batched path vs reflect-padding in the single path — exclude them
+        n_safe = n - (ACFG.n_fft // 2) // ACFG.hop_length - 1
+        np.testing.assert_allclose(stored[:n_safe], single[:n_safe], atol=2e-3)  # f16 storage
+
+
+class TestBuckets:
+    def test_monotone_and_r_aligned(self):
+        rs = np.random.default_rng(0)
+        frames = rs.integers(50, 500, 200)
+        texts = rs.integers(10, 80, 200)
+        buckets = make_buckets(texts, frames, num_buckets=4, r=5)
+        assert buckets
+        for b in buckets:
+            assert b.n_frames % 5 == 0
+        sizes = [b.n_frames for b in buckets]
+        assert sizes == sorted(sizes)
+
+    def test_assign_smallest_fit(self):
+        buckets = [BucketSpec(16, 100), BucketSpec(32, 200)]
+        assert assign_bucket(buckets, 10, 90) == 0
+        assert assign_bucket(buckets, 20, 90) == 1
+        assert assign_bucket(buckets, 20, 300) == -1
+
+
+class TestLoader:
+    def test_static_shapes_and_content(self, data_dir):
+        ds = Dataset(data_dir)
+        dl = DataLoader(ds, batch_size=4, num_buckets=2, r=5)
+        batches = list(dl.epoch(shuffle=False))
+        assert batches
+        for batch in batches:
+            spec = dl.buckets[batch.bucket]
+            assert batch.text.shape == (4, spec.text_len)
+            assert batch.mel.shape[1] == spec.n_frames
+            assert spec.n_frames % 5 == 0
+            assert batch.mel.shape[2] == ACFG.n_mels
+            assert (batch.frame_len <= spec.n_frames).all()
+            # padding is zero beyond frame_len
+            j = 0
+            fl = int(batch.frame_len[j])
+            if fl < spec.n_frames:
+                assert np.allclose(batch.mel[j, fl:], 0.0)
+
+    def test_per_host_sharding_partitions(self, data_dir):
+        ds = Dataset(data_dir)
+        dl0 = DataLoader(ds, 2, 1, 5, process_index=0, process_count=2)
+        dl1 = DataLoader(ds, 2, 1, 5, process_index=1, process_count=2)
+        assert set(dl0.my_items).isdisjoint(dl1.my_items)
+        assert len(dl0.my_items) + len(dl1.my_items) == len(ds)
+
+    def test_prefetch_stream(self, data_dir):
+        ds = Dataset(data_dir)
+        dl = DataLoader(ds, batch_size=2, num_buckets=1, r=5)
+        it = iter(dl)
+        seen = [next(it) for _ in range(7)]  # > one epoch: stream rewraps
+        assert all(b.text.shape[0] == 2 for b in seen)
