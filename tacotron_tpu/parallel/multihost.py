@@ -1,0 +1,56 @@
+"""Multi-host control plane (SURVEY.md §2.4, §5.2, §5.8).
+
+The reference has no multi-host story [R]. Here: `jax.distributed.initialize`
+for rendezvous, `process_index`-gated host-0 I/O, barriers around checkpoint/
+eval, and a debug-mode cross-host batch-hash agreement check (host-side
+divergence is the main remaining hazard in a pure-functional program).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+import jax
+
+
+def initialize(coordinator_address: str | None = None, num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Idempotent jax.distributed.initialize (no-op single-process)."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def is_primary() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def batch_hash(batch_arrays) -> str:
+    """Deterministic content hash of a host-local batch (debug divergence check,
+    SURVEY.md §5.2)."""
+    h = hashlib.sha256()
+    for a in jax.tree_util.tree_leaves(batch_arrays):
+        h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:16]
+
+
+def assert_same_step(step: int) -> None:
+    """Cross-host agreement on the step counter (cheap divergence guard)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        steps = multihost_utils.process_allgather(np.asarray(step))
+        assert int(steps.min()) == int(steps.max()), f"step divergence: {steps}"

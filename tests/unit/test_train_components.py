@@ -1,0 +1,92 @@
+"""Unit tests: loss masking, LR schedule boundaries, checkpoint atomicity."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tacotron_tpu.config import TrainConfig
+from tacotron_tpu.train import checkpoint
+from tacotron_tpu.train.loss import tacotron_loss
+from tacotron_tpu.train.schedule import lr_schedule
+
+
+class TestLoss:
+    def test_equal_weights_unmasked(self):
+        mel_p = jnp.ones((2, 10, 4)) * 2.0
+        mel_g = jnp.zeros((2, 10, 4))
+        lin_p = jnp.ones((2, 10, 6))
+        lin_g = jnp.zeros((2, 10, 6))
+        total, m = tacotron_loss(mel_p, lin_p, mel_g, lin_g)
+        assert float(m["mel_loss"]) == pytest.approx(2.0)
+        assert float(m["linear_loss"]) == pytest.approx(1.0)
+        assert float(total) == pytest.approx(3.0)
+
+    def test_masked_ignores_padding(self):
+        mel_p = jnp.zeros((1, 4, 2)).at[0, 2:].set(100.0)  # error only in padding
+        mel_g = jnp.zeros((1, 4, 2))
+        total, m = tacotron_loss(mel_p, mel_p * 0, mel_g, jnp.zeros((1, 4, 2)),
+                                 frame_len=jnp.array([2]), mask_padding=True)
+        assert float(m["mel_loss"]) == pytest.approx(0.0)
+
+    def test_linear_weight(self):
+        x = jnp.ones((1, 2, 2))
+        z = jnp.zeros((1, 2, 2))
+        total, _ = tacotron_loss(z, x, z, z, linear_weight=0.5)
+        assert float(total) == pytest.approx(0.5)
+
+
+class TestSchedule:
+    def test_paper_boundaries(self):
+        cfg = TrainConfig()
+        s = lr_schedule(cfg)
+        assert float(s(0)) == pytest.approx(1e-3)
+        assert float(s(499_999)) == pytest.approx(1e-3)
+        assert float(s(500_001)) == pytest.approx(5e-4, rel=1e-5)
+        assert float(s(1_500_000)) == pytest.approx(3e-4, rel=1e-5)
+        assert float(s(2_500_000)) == pytest.approx(1e-4, rel=1e-5)
+
+
+class TestCheckpoint:
+    def _tree(self, scale=1.0):
+        return {
+            "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3) * scale,
+                       "b": np.ones(3, np.float32) * scale},
+            "step": np.asarray(7 * int(scale), np.int32),
+        }
+
+    def test_save_restore_bit_identical(self, tmp_path):
+        d = str(tmp_path / "ckpt")
+        checkpoint.save(d, 7, self._tree())
+        restored, step = checkpoint.restore(d, self._tree(scale=0.0))
+        assert step == 7
+        np.testing.assert_array_equal(restored["params"]["w"], self._tree()["params"]["w"])
+        np.testing.assert_array_equal(restored["step"], 7)
+
+    def test_latest_and_prune(self, tmp_path):
+        d = str(tmp_path / "ckpt")
+        for s in [1, 2, 3, 4, 5, 6, 7]:
+            checkpoint.save(d, s, self._tree(), keep=3)
+        assert checkpoint.latest(d) == 7
+        assert checkpoint.all_steps(d) == [5, 6, 7]
+
+    def test_no_partial_checkpoint_visible(self, tmp_path):
+        """Temp dirs must never be listed as valid checkpoints."""
+        d = str(tmp_path / "ckpt")
+        checkpoint.save(d, 1, self._tree())
+        os.makedirs(os.path.join(d, ".tmp_step_2"))
+        assert checkpoint.all_steps(d) == [1]
+
+    def test_structure_mismatch_raises(self, tmp_path):
+        d = str(tmp_path / "ckpt")
+        checkpoint.save(d, 1, self._tree())
+        bad_target = {"params": {"w": np.zeros((2, 3), np.float32)}}
+        with pytest.raises(AssertionError):
+            checkpoint.restore(d, bad_target)
+
+    def test_missing_dir_raises(self, tmp_path):
+        with pytest.raises(FileNotFoundError):
+            checkpoint.restore(str(tmp_path / "nope"), self._tree())
