@@ -1,0 +1,106 @@
+"""Benchmark: full Tacotron (256-d, r=2) training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol (BASELINE.md): steady-state over measured steps after compile warm-up,
+block_until_ready-bracketed; frames/s counts decoder output frames (T_out).
+The reference publishes no numbers (BASELINE.json:13), so vs_baseline is the
+ratio against OUR first recorded value in BASELINE.md (the ratchet); 1.0 on
+the first recorded run.
+
+Usage: python bench.py [--steps 20] [--batch 32] [--t-in 128] [--t-out 400]
+       [--platform cpu] [--metric train|synth]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import re
+import time
+
+
+BASELINE_KEY = "frames_per_s_per_chip"
+
+
+def read_ratchet() -> float | None:
+    """Our first recorded frames/s/chip from BASELINE.md, if present."""
+    try:
+        with open("BASELINE.md") as f:
+            text = f.read()
+        m = re.search(r"<!-- ratchet:frames_per_s_per_chip=([0-9.]+) -->", text)
+        return float(m.group(1)) if m else None
+    except OSError:
+        return None
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--t-in", type=int, default=128)
+    p.add_argument("--t-out", type=int, default=400)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from tacotron_tpu.config import get_config
+    from tacotron_tpu.parallel import make_mesh, shard_batch
+    from tacotron_tpu.train.step import create_train_state, make_train_step
+
+    cfg = get_config("full_1chip")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, vocab_size=64),
+        train=dataclasses.replace(cfg.train, batch_size=args.batch),
+    )
+    n_chips = len(jax.devices())
+    mesh = make_mesh(cfg.mesh)
+
+    rng = jax.random.PRNGKey(0)
+    state = create_train_state(cfg, rng)
+    step_fn = make_train_step(cfg, mesh)
+
+    b, t_in, t_out = args.batch, args.t_in, args.t_out
+    assert t_out % cfg.model.r == 0
+    batch = (
+        jax.random.randint(rng, (b, t_in), 1, 60),
+        jnp.full((b,), t_in, jnp.int32),
+        jax.random.uniform(rng, (b, t_out, cfg.model.n_mels)),
+        jax.random.uniform(rng, (b, t_out, cfg.model.n_freq)),
+        jnp.full((b,), t_out, jnp.int32),
+    )
+
+    with mesh:
+        batch = shard_batch(batch, mesh, cfg.mesh)
+        for _ in range(args.warmup):
+            state, metrics, _ = step_fn(state, *batch)
+        jax.block_until_ready(state)
+
+        t0 = time.time()
+        for _ in range(args.steps):
+            state, metrics, _ = step_fn(state, *batch)
+        jax.block_until_ready(state)
+        dt = time.time() - t0
+
+    frames_per_s = args.steps * b * t_out / dt
+    per_chip = frames_per_s / n_chips
+    ratchet = read_ratchet()
+    vs = round(per_chip / ratchet, 4) if ratchet else 1.0
+    print(json.dumps({
+        "metric": "train_frames_per_s_per_chip",
+        "value": round(per_chip, 1),
+        "unit": "frames/s/chip",
+        "vs_baseline": vs,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,69 @@
+"""CLI: synthesis driver (reference: python synthesize.py [R], SURVEY.md §3.3).
+
+    python -m tacotron_tpu.cli.synthesize --run-dir runs/x --data-dir data/ljspeech \
+        --text "hello world" [--text "..."] --out-dir out/ \
+        [--steps N] [--gl-iters 1000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--out-dir", required=True)
+    p.add_argument("--text", action="append", required=True)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--gl-iters", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--platform", default=None)
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from tacotron_tpu.config import Config
+    from tacotron_tpu.data.ljspeech import save_wav
+    from tacotron_tpu.data.vocab import Vocab
+    from tacotron_tpu.infer import Synthesizer
+    from tacotron_tpu.train import checkpoint
+    from tacotron_tpu.train.step import create_train_state
+
+    with open(os.path.join(args.run_dir, "config.json")) as f:
+        cfg = Config.from_json(f.read())
+    vocab = Vocab.load(os.path.join(args.data_dir, "vocab.json"))
+
+    template = create_train_state(cfg, jax.random.PRNGKey(0))
+    state, step = checkpoint.restore(os.path.join(args.run_dir, "ckpt"), template)
+    print(f"restored checkpoint at step {step}")
+
+    synth = Synthesizer(cfg, state.params, state.batch_stats, vocab)
+    t0 = time.time()
+    out = synth(args.text, n_steps=args.steps, gl_iters=args.gl_iters,
+                seed=args.seed)
+    dt = time.time() - t0
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    for i, wav in enumerate(out["wavs"]):
+        path = os.path.join(args.out_dir, f"utt_{i:03d}.wav")
+        save_wav(path, wav, cfg.audio.sample_rate)
+    print(json.dumps({
+        "n": len(out["wavs"]),
+        "audio_seconds": round(out["audio_seconds"], 2),
+        "wall_seconds": round(dt, 2),
+        "audio_seconds_per_s": round(out["audio_seconds"] / dt, 3),
+        "out_dir": args.out_dir,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""CLI: training driver (reference: python train.py [R], SURVEY.md §2.1 #14).
+
+    python -m tacotron_tpu.cli.train --data-dir data/ljspeech --run-dir runs/x \
+        [--preset full_1chip] [--steps N] [--batch-size B] [--no-restore]
+
+Always-resume contract (SURVEY.md §5.3): if the run dir holds a checkpoint,
+training continues from the latest complete one unless --no-restore.
+Host 0 writes checkpoints/summaries; every host feeds its own data shard.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--run-dir", required=True)
+    p.add_argument("--preset", default="full_1chip")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--no-restore", action="store_true")
+    p.add_argument("--num-buckets", type=int, default=None)
+    p.add_argument("--summary-every", type=int, default=None)
+    p.add_argument("--checkpoint-every", type=int, default=None)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu) before first use")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from tacotron_tpu.config import get_config
+    from tacotron_tpu.data.loader import DataLoader, Dataset
+    from tacotron_tpu.parallel import make_mesh, multihost, shard_batch
+    from tacotron_tpu.train import checkpoint
+    from tacotron_tpu.train.step import TrainState, create_train_state, make_train_step
+    from tacotron_tpu.utils import SummaryWriter
+
+    cfg = get_config(args.preset)
+    ds = Dataset(args.data_dir)
+    overrides = {}
+    tr = cfg.train
+    if args.steps is not None:
+        tr = dataclasses.replace(tr, max_steps=args.steps)
+    if args.batch_size is not None:
+        tr = dataclasses.replace(tr, batch_size=args.batch_size)
+    if args.summary_every is not None:
+        tr = dataclasses.replace(tr, summary_every=args.summary_every)
+    if args.checkpoint_every is not None:
+        tr = dataclasses.replace(tr, checkpoint_every=args.checkpoint_every)
+    cfg = dataclasses.replace(
+        cfg,
+        train=tr,
+        model=dataclasses.replace(cfg.model, vocab_size=max(64, len(ds.vocab) + 1),
+                                  n_freq=ds.linears.shape[1],
+                                  n_mels=ds.mels.shape[1]),
+    )
+
+    os.makedirs(args.run_dir, exist_ok=True)
+    if multihost.is_primary():
+        with open(os.path.join(args.run_dir, "config.json"), "w") as f:
+            f.write(cfg.to_json())
+
+    mesh = make_mesh(cfg.mesh)
+    n_dev = mesh.devices.size
+    assert cfg.train.batch_size % n_dev == 0, (
+        f"global batch {cfg.train.batch_size} not divisible by {n_dev} devices"
+    )
+
+    loader = DataLoader(
+        ds, batch_size=cfg.train.batch_size // jax.process_count(),
+        num_buckets=args.num_buckets or cfg.data.num_buckets, r=cfg.model.r,
+        seed=cfg.train.seed, process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+    print(f"buckets: {[b.key() for b in loader.buckets]}")
+
+    state = create_train_state(cfg, jax.random.PRNGKey(cfg.train.seed))
+    ckpt_dir = os.path.join(args.run_dir, "ckpt")
+    start_step = 0
+    if not args.no_restore and checkpoint.latest(ckpt_dir) is not None:
+        state, start_step = checkpoint.restore(ckpt_dir, state)
+        state = TrainState(*jax.tree_util.tree_map(jnp.asarray, tuple(state)))
+        print(f"resumed from step {start_step}")
+
+    step_fn = make_train_step(cfg, mesh)
+    writer = SummaryWriter(os.path.join(args.run_dir, "tb"),
+                           enabled=multihost.is_primary())
+
+    it = iter(loader)
+    t_last = time.time()
+    frames_since = 0
+    step = start_step
+    with mesh:
+        while step < cfg.train.max_steps:
+            b = next(it)
+            arrays = shard_batch(
+                (jnp.asarray(b.text), jnp.asarray(b.text_len), jnp.asarray(b.mel),
+                 jnp.asarray(b.linear), jnp.asarray(b.frame_len)),
+                mesh, cfg.mesh,
+            )
+            state, metrics, alignments = step_fn(state, *arrays)
+            step += 1
+            frames_since += b.mel.shape[0] * b.mel.shape[1] * jax.process_count()
+
+            if step % cfg.train.summary_every == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                dt = time.time() - t_last
+                fps = frames_since / dt
+                writer.scalars(metrics, step, prefix="train/")
+                writer.scalar("perf/frames_per_s", fps, step)
+                writer.scalar("perf/frames_per_s_per_chip", fps / n_dev, step)
+                writer.alignment("train/alignment", np.asarray(alignments[0]), step)
+                print(json.dumps({"step": step, **metrics,
+                                  "frames_per_s": round(fps, 1)}))
+                t_last, frames_since = time.time(), 0
+
+            if step % cfg.train.checkpoint_every == 0:
+                multihost.barrier("pre-ckpt")
+                if multihost.is_primary():
+                    checkpoint.save(ckpt_dir, step, state)
+                multihost.barrier("post-ckpt")
+
+    if multihost.is_primary():
+        checkpoint.save(ckpt_dir, step, state)
+    writer.close()
+    print(json.dumps({"done": True, "step": step}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Synthesis: text -> autoregressive decode -> Griffin-Lim -> waveform.
+
+Rebuild of the reference's ``synthesize.py`` (SURVEY.md §2.1 #15, §3.3 [R]).
+The reference restored a feed-previous TF1 graph, decoded to a fixed step
+count, then ran ~1000 Griffin-Lim iterations per utterance on the host CPU —
+the dominant cost. Here the whole path (encode, scan decode, batched GL over
+the jnp iSTFT/STFT) is jitted on device; utterances are batched and the wav
+is the only host transfer.
+
+Throughput is graded as audio-seconds synthesized per second (BASELINE.json:2),
+so the API is batch-first.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tacotron_tpu.config import Config
+from tacotron_tpu.data.vocab import Vocab
+from tacotron_tpu.dsp import inv_spectrogram
+from tacotron_tpu.models import Tacotron
+
+
+class Synthesizer:
+    def __init__(self, cfg: Config, params, batch_stats, vocab: Vocab):
+        self.cfg = cfg
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self.vocab = vocab
+        self.model = Tacotron(cfg.model, train=False)
+
+        @functools.partial(jax.jit, static_argnames=("n_steps", "gl_iters"))
+        def _synth(variables, text, text_len, rng, n_steps, gl_iters):
+            out = self.model.apply(
+                variables, text, text_len, n_steps=n_steps,
+                rngs={"dropout": rng},
+            )
+            wav = inv_spectrogram(out.linear, cfg.audio, n_iter=gl_iters)
+            return out.mel, out.linear, out.alignments, wav
+
+        self._synth = _synth
+
+    def encode_texts(self, texts: list[str], pad_to: int | None = None):
+        ids = [self.vocab.encode(t) for t in texts]
+        max_len = max(len(i) for i in ids)
+        if pad_to is not None:
+            max_len = max(max_len, pad_to)
+        text = np.zeros((len(ids), max_len), np.int32)
+        lengths = np.zeros((len(ids),), np.int32)
+        for j, a in enumerate(ids):
+            text[j, : len(a)] = a
+            lengths[j] = len(a)
+        return jnp.asarray(text), jnp.asarray(lengths)
+
+    def __call__(self, texts: list[str], n_steps: int | None = None,
+                 gl_iters: int | None = None, seed: int = 0,
+                 peak_normalize: bool = True):
+        """Synthesize a batch. Returns dict with mel, linear, alignments, wavs.
+
+        wavs is (B, T_samples) float32; trim per-utterance externally if
+        desired (no stop token — fixed length, paper §3.2).
+        """
+        cfg = self.cfg
+        n_steps = n_steps or cfg.model.max_decode_steps
+        gl_iters = gl_iters or cfg.audio.griffin_lim_iters
+        text, lengths = self.encode_texts(texts)
+        mel, linear, align, wav = self._synth(
+            self.variables, text, lengths, jax.random.PRNGKey(seed),
+            n_steps, gl_iters,
+        )
+        wav = np.asarray(wav)
+        if peak_normalize:
+            peak = np.abs(wav).max(axis=-1, keepdims=True)
+            wav = wav / np.maximum(peak, 1e-3)
+        return {
+            "mel": np.asarray(mel),
+            "linear": np.asarray(linear),
+            "alignments": np.asarray(align),
+            "wavs": wav,
+            "audio_seconds": wav.shape[0] * wav.shape[1] / cfg.audio.sample_rate,
+        }

@@ -1,0 +1,79 @@
+"""Observability: scalars, alignment heatmaps, audio summaries (SURVEY.md §5.5).
+
+The reference logged three artifact kinds via tf.summary: loss scalars,
+matplotlib attention-alignment images (THE Tacotron health check), and
+periodic Griffin-Lim audio [R]. The rebuild keeps all three through
+tensorboardX, written host-0-only, plus the two graded throughput counters
+(frames/s/chip, audio-seconds/s) as first-class scalars (BASELINE.json:2).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+
+import numpy as np
+
+
+def plot_alignment(alignment: np.ndarray, title: str = "") -> np.ndarray:
+    """(dec_steps, T_in) -> HWC uint8 heatmap image (matplotlib, Agg)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 4), dpi=100)
+    im = ax.imshow(alignment.T, aspect="auto", origin="lower",
+                   interpolation="none")
+    fig.colorbar(im, ax=ax)
+    ax.set_xlabel("decoder step")
+    ax.set_ylabel("encoder position")
+    if title:
+        ax.set_title(title)
+    fig.tight_layout()
+    buf = io.BytesIO()
+    fig.savefig(buf, format="png")
+    plt.close(fig)
+    buf.seek(0)
+    import PIL.Image
+
+    return np.asarray(PIL.Image.open(buf).convert("RGB"))
+
+
+class SummaryWriter:
+    """Thin tensorboardX wrapper; silently no-ops on non-primary hosts."""
+
+    def __init__(self, log_dir: str, enabled: bool = True):
+        self.enabled = enabled
+        self._w = None
+        if enabled:
+            os.makedirs(log_dir, exist_ok=True)
+            from tensorboardX import SummaryWriter as TBWriter
+
+            self._w = TBWriter(log_dir)
+
+    def scalar(self, tag: str, value, step: int):
+        if self._w:
+            self._w.add_scalar(tag, float(value), step)
+
+    def scalars(self, values: dict, step: int, prefix: str = ""):
+        for k, v in values.items():
+            self.scalar(prefix + k, v, step)
+
+    def alignment(self, tag: str, alignment: np.ndarray, step: int):
+        if self._w:
+            img = plot_alignment(np.asarray(alignment), title=f"step {step}")
+            self._w.add_image(tag, img, step, dataformats="HWC")
+
+    def audio(self, tag: str, wav: np.ndarray, sample_rate: int, step: int):
+        if self._w:
+            self._w.add_audio(tag, np.clip(wav, -1, 1)[None, :], step,
+                              sample_rate=sample_rate)
+
+    def flush(self):
+        if self._w:
+            self._w.flush()
+
+    def close(self):
+        if self._w:
+            self._w.close()
