@@ -78,16 +78,21 @@ def main():
         jnp.full((b,), t_out, jnp.int32),
     )
 
+    def force(x):
+        # device->host read: block_until_ready is NOT reliable on the axon
+        # platform (verified empirically — it returns before compute finishes)
+        return float(jnp.sum(x))
+
     with mesh:
         batch = shard_batch(batch, mesh, cfg.mesh)
         for _ in range(args.warmup):
             state, metrics, _ = step_fn(state, *batch)
-        jax.block_until_ready(state)
+        force(metrics["total_loss"])
 
         t0 = time.time()
         for _ in range(args.steps):
             state, metrics, _ = step_fn(state, *batch)
-        jax.block_until_ready(state)
+        force(metrics["total_loss"])
         dt = time.time() - t0
 
     frames_per_s = args.steps * b * t_out / dt

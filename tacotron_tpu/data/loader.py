@@ -62,10 +62,21 @@ class Dataset:
 class DataLoader:
     def __init__(self, dataset: Dataset, batch_size: int, num_buckets: int, r: int,
                  seed: int = 0, process_index: int = 0, process_count: int = 1,
-                 drop_oversize: bool = True, prefetch: int = 2):
+                 drop_oversize: bool = True, prefetch: int = 2,
+                 use_native: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
         self.r = r
+        # Native C++ batch assembler (tacotron_tpu/native): threads do the
+        # f16->f32 + pad + gather; numpy fallback when the toolchain is absent.
+        self.native = None
+        if use_native:
+            try:
+                from tacotron_tpu.native import NativeBatcher
+
+                self.native = NativeBatcher(dataset)
+            except (RuntimeError, OSError, ImportError):
+                self.native = None
         text_lens = [e["text_len"] for e in dataset.index]
         frame_lens = [e["n_frames"] for e in dataset.index]
         self.buckets = make_buckets(text_lens, frame_lens, num_buckets, r)
@@ -91,6 +102,11 @@ class DataLoader:
 
     def _make_batch(self, bucket_id: int, items: list[int]) -> Batch:
         spec = self.buckets[bucket_id]
+        if self.native is not None:
+            text, text_len, mel, lin, frame_len = self.native.assemble(
+                items, spec.text_len, spec.n_frames
+            )
+            return Batch(text, text_len, mel, lin, frame_len, bucket=bucket_id)
         b = len(items)
         n_mels = self.ds.mels.shape[1]
         n_freq = self.ds.linears.shape[1]

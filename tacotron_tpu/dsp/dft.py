@@ -1,0 +1,132 @@
+"""Matmul-DFT STFT/iSTFT: the MXU-native transform backend.
+
+``jnp.fft`` lowers to XLA's generic FFT on TPU, which does not use the MXU.
+For Tacotron's 2048-point real transforms the DFT-as-matmul formulation maps
+the entire transform onto the systolic array: frames (B*F, n_fft) @ DFT
+(n_fft, 2*(n_fft/2+1)) — with the analysis window folded into the DFT matrix
+so framing -> windowing -> transform is ONE matmul. At Griffin-Lim's 1000
+iterations (BASELINE.json:10) this is the vocoder's inner loop.
+
+The synthesis direction folds the window and 1/N normalisation in likewise;
+overlap-add reuses the scatter-add from stft.py.
+
+Numerics: matrices are kept in float32 (bf16 matrices cost ~0.4% relative
+error per transform; acceptable for GL but f32 is already fast enough since
+the matmul is HBM-light). Verified against jnp.fft in tests to 1e-3.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tacotron_tpu.dsp.stft import _padded_window, frame_signal
+
+
+@functools.lru_cache(maxsize=4)
+def _dft_matrices(n_fft: int, win_length: int):
+    """(analysis (n_fft, 2*n_bins) with window folded, synthesis (2*n_bins, n_fft)
+    with window + 1/N + hermitian weights folded). numpy, built once."""
+    n_bins = n_fft // 2 + 1
+    n = np.arange(n_fft)[:, None]
+    k = np.arange(n_bins)[None, :]
+    ang = 2.0 * np.pi * n * k / n_fft
+    cos, sin = np.cos(ang), np.sin(ang)
+
+    # periodic Hann centred in n_fft, in pure numpy (this runs under jit trace,
+    # so the jnp-based stft._padded_window cannot be used here)
+    wn = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(win_length) / win_length)
+    lpad = (n_fft - win_length) // 2
+    win = np.zeros(n_fft)
+    win[lpad : lpad + win_length] = wn
+
+    # analysis: re = (x*win) @ cos, im = -(x*win) @ sin
+    fwd = np.concatenate([cos * win[:, None], -sin * win[:, None]], axis=1)
+
+    # synthesis: x[n] = (1/N) sum_k w_k (re_k cos - im_k sin), w = 2 except DC/Nyquist
+    w = np.full(n_bins, 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    inv_re = (cos * w[None, :] / n_fft).T          # (n_bins, n_fft)
+    inv_im = (-sin * w[None, :] / n_fft).T
+    # windowed synthesis frames (istft multiplies by window before OLA)
+    bwd = np.concatenate([inv_re, inv_im], axis=0) * win[None, :]
+
+    return fwd.astype(np.float32), bwd.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))
+def stft_mm(y: jax.Array, n_fft: int, hop_length: int, win_length: int):
+    """Matmul STFT -> (re, im) pair, each (..., frames, n_bins)."""
+    frames = frame_signal(y, n_fft, hop_length)
+    fwd, _ = _dft_matrices(n_fft, win_length)
+    out = frames @ jnp.asarray(fwd)  # (..., frames, 2*n_bins) one MXU matmul
+    n_bins = n_fft // 2 + 1
+    return out[..., :n_bins], out[..., n_bins:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))
+def stft_mm_magnitude(y, n_fft, hop_length, win_length):
+    re, im = stft_mm(y, n_fft, hop_length, win_length)
+    return jnp.sqrt(re * re + im * im + 1e-12)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "length")
+)
+def istft_mm(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
+             win_length: int, length: int | None = None):
+    """Matmul iSTFT with window-sum-square OLA (mirrors stft.istft)."""
+    _, bwd = _dft_matrices(n_fft, win_length)
+    spec = jnp.concatenate([re, im], axis=-1)       # (..., frames, 2*n_bins)
+    frames_t = spec @ jnp.asarray(bwd)               # windowed real frames
+
+    n_frames = frames_t.shape[-2]
+    pad = n_fft // 2
+    total = n_fft + hop_length * (n_frames - 1)
+    idx = (jnp.arange(n_frames)[:, None] * hop_length
+           + jnp.arange(n_fft)[None, :]).reshape(-1)
+    batch_shape = frames_t.shape[:-2]
+    flat = frames_t.reshape(batch_shape + (-1,))
+    y = jnp.zeros(batch_shape + (total,), frames_t.dtype).at[..., idx].add(flat)
+
+    win = _padded_window(win_length, n_fft, frames_t.dtype)
+    wss = jnp.zeros((total,), frames_t.dtype).at[idx].add(jnp.tile(win * win, n_frames))
+    y = y / jnp.maximum(wss, 1e-11)
+
+    y = y[..., pad : total - pad]
+    if length is not None:
+        n = y.shape[-1]
+        if n < length:
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, length - n)])
+        else:
+            y = y[..., :length]
+    return y
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "win_length", "n_iter", "length"),
+)
+def griffin_lim_mm(magnitude: jax.Array, *, n_fft: int, hop_length: int,
+                   win_length: int, n_iter: int = 60,
+                   length: int | None = None) -> jax.Array:
+    """Griffin-Lim over the matmul transforms: every iteration is two MXU
+    matmuls + OLA, no XLA FFT anywhere."""
+    mag = magnitude.astype(jnp.float32)
+    re, im = mag, jnp.zeros_like(mag)
+
+    def body(_, carry):
+        re, im = carry
+        y = istft_mm(re, im, n_fft, hop_length, win_length)
+        re2, im2 = stft_mm(y, n_fft, hop_length, win_length)
+        norm = jnp.maximum(jnp.sqrt(re2 * re2 + im2 * im2), 1e-8)
+        return mag * re2 / norm, mag * im2 / norm
+
+    re, im = jax.lax.fori_loop(0, n_iter, body, (re, im))
+    return istft_mm(re, im, n_fft, hop_length, win_length, length=length)

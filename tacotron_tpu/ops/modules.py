@@ -60,32 +60,69 @@ class ConvBank(nn.Module):
     """K parallel 1-D convs with widths 1..K, each ``channels`` wide, ReLU +
     batch-norm, stacked on the channel axis (paper Table 1; SURVEY.md #5).
 
-    All K convolutions share one BN (applied on the stacked output) in some TF
-    forks and per-branch BN in others; per-branch is used here to match the
-    reference structure [R] (one BN per conv1d call).
+    Per-branch BN matches the reference structure [R] (one BN per conv1d call).
+
+    ``packed=True`` (default) evaluates ALL K branches as ONE width-K
+    convolution with K*channels output channels: each branch's taps are
+    placed at the offsets its own SAME padding implies, the rest are
+    structural zeros. One big conv keeps the MXU busy with a single
+    well-tiled contraction instead of K skinny ones (trades ~1.9x padded
+    FLOPs for one pass over x; measured faster on TPU). Param layout is
+    identical in both modes, so checkpoints are interchangeable.
     """
 
     k: int
     channels: int
     train: bool
     param_dtype: jnp.dtype = jnp.float32
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
         # x: (B, T, C)
+        c_in = x.shape[-1]
+        if not self.packed:
+            outs = []
+            for width in range(1, self.k + 1):
+                h = nn.Conv(
+                    self.channels,
+                    kernel_size=(width,),
+                    padding="SAME",
+                    use_bias=False,
+                    name=f"conv{width}",
+                    param_dtype=self.param_dtype,
+                )(x)
+                h = BatchNorm(self.train, self.param_dtype, name=f"bn{width}")(h)
+                outs.append(nn.relu(h))
+            return jnp.concatenate(outs, axis=-1)  # (B, T, K*channels)
+
+        # Packed: same per-branch params, assembled into one (K, C, K*ch) kernel.
+        # Big conv (SAME, width K) computes y[t] = sum_i x[t - left_K + i] W[i];
+        # branch w needs x[t - left_w + j] W_w[j], so tap j lands at
+        # i = j + left_K - left_w (left_w = (w-1)//2 per flax SAME stride-1).
+        left_k = (self.k - 1) // 2
+        big = jnp.zeros((self.k, c_in, self.k * self.channels), self.param_dtype)
+        for width in range(1, self.k + 1):
+            kern = self.param(
+                f"conv{width}",
+                lambda key, w=width: {"kernel": nn.initializers.lecun_normal()(
+                    key, (w, c_in, self.channels), self.param_dtype)},
+            )["kernel"]
+            off = left_k - (width - 1) // 2
+            col = (width - 1) * self.channels
+            big = jax.lax.dynamic_update_slice(big, kern, (off, 0, col))
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.param_dtype), big,
+            window_strides=(1,), padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )  # (B, T, K*channels)
+        # per-branch BN + ReLU on the packed output (same params as unpacked)
         outs = []
         for width in range(1, self.k + 1):
-            h = nn.Conv(
-                self.channels,
-                kernel_size=(width,),
-                padding="SAME",
-                use_bias=False,
-                name=f"conv{width}",
-                param_dtype=self.param_dtype,
-            )(x)
+            h = y[..., (width - 1) * self.channels : width * self.channels]
             h = BatchNorm(self.train, self.param_dtype, name=f"bn{width}")(h)
             outs.append(nn.relu(h))
-        return jnp.concatenate(outs, axis=-1)  # (B, T, K*channels)
+        return jnp.concatenate(outs, axis=-1)
 
 
 class Conv1dProjection(nn.Module):

@@ -1,0 +1,265 @@
+"""Fused autoregressive decode loop: the whole inference decode in ONE kernel.
+
+The reference's inference hot loop is a TF1 while_loop of ~20 small ops per
+step (SURVEY.md §3.3 [R]); the XLA rebuild's lax.scan still round-trips the
+carried state and reloads every weight matrix from HBM each step. This kernel
+is the speed-of-light design (BASELINE.json:5 "attention energy/softmax/
+context fused per decode step"): weights, encoder memory and attention keys
+are loaded into VMEM ONCE, and a fori_loop inside the kernel runs every decode
+step — prenet (with on-chip PRNG dropout, active at inference per paper §3.2),
+attention GRU, Bahdanau energy/softmax/context, input projection, two residual
+GRUs, and the r-frame output projection — with zero HBM traffic for state.
+
+Inference-only (no VJP): training keeps the XLA scan, which autodiffs.
+
+Weight layout contract matches models/decoder.DecoderCell; pack_decoder_weights
+extracts and (optionally) pads arrays from the flax param tree.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+class DecoderWeights(NamedTuple):
+    # prenet
+    p_w0: jax.Array; p_b0: jax.Array; p_w1: jax.Array; p_b1: jax.Array
+    # attention GRU (fused TF1 layout: x-part and h-part separate)
+    ag_wgx: jax.Array; ag_bg: jax.Array; ag_wgh: jax.Array
+    ag_wcx: jax.Array; ag_bc: jax.Array; ag_wch: jax.Array
+    # attention (query proj + energy vector)
+    at_wq: jax.Array; at_v: jax.Array
+    # decoder input projection
+    ip_w: jax.Array; ip_b: jax.Array
+    # two decoder GRUs
+    d0_wgx: jax.Array; d0_bg: jax.Array; d0_wgh: jax.Array
+    d0_wcx: jax.Array; d0_bc: jax.Array; d0_wch: jax.Array
+    d1_wgx: jax.Array; d1_bg: jax.Array; d1_wgh: jax.Array
+    d1_wcx: jax.Array; d1_bc: jax.Array; d1_wch: jax.Array
+    # frame projection
+    f_w: jax.Array; f_b: jax.Array
+
+
+def pack_decoder_weights(params, memory_proj_kernel=None) -> DecoderWeights:
+    """Flax param tree (decoder/cell/...) -> DecoderWeights.
+
+    ``params`` is variables["params"]["decoder"]["cell"]. GRU weights follow
+    ops/gru.GRUCell's fused [x, h] concat layout and are split here so the
+    kernel can keep h-side matmuls separate (state stays in registers/VMEM).
+    """
+    def split_gru(g, d_in):
+        wg = g["gates"]["kernel"]
+        wc = g["candidate"]["kernel"]
+        return (wg[:d_in], g["gates"]["bias"], wg[d_in:],
+                wc[:d_in], g["candidate"]["bias"], wc[d_in:])
+
+    pre = params["prenet"]
+    att = params["attention"]
+    # fused GRU kernels have rows = d_in + d_hidden; d_hidden = gates_cols / 2
+    ag_dim = params["attention_gru"]["gates"]["kernel"].shape[1] // 2
+    ag = split_gru(params["attention_gru"],
+                   params["attention_gru"]["gates"]["kernel"].shape[0] - ag_dim)
+
+    d0_dim = params["decoder_gru0"]["gates"]["kernel"].shape[1] // 2
+    d0 = split_gru(params["decoder_gru0"],
+                   params["decoder_gru0"]["gates"]["kernel"].shape[0] - d0_dim)
+    d1_dim = params["decoder_gru1"]["gates"]["kernel"].shape[1] // 2
+    d1 = split_gru(params["decoder_gru1"],
+                   params["decoder_gru1"]["gates"]["kernel"].shape[0] - d1_dim)
+
+    return DecoderWeights(
+        p_w0=pre["fc0"]["kernel"], p_b0=pre["fc0"]["bias"],
+        p_w1=pre["fc1"]["kernel"], p_b1=pre["fc1"]["bias"],
+        ag_wgx=ag[0], ag_bg=ag[1], ag_wgh=ag[2],
+        ag_wcx=ag[3], ag_bc=ag[4], ag_wch=ag[5],
+        at_wq=att["query"]["kernel"], at_v=att["v"][:, 0],
+        ip_w=params["decoder_input_proj"]["kernel"],
+        ip_b=params["decoder_input_proj"]["bias"],
+        d0_wgx=d0[0], d0_bg=d0[1], d0_wgh=d0[2],
+        d0_wcx=d0[3], d0_bc=d0[4], d0_wch=d0[5],
+        d1_wgx=d1[0], d1_bg=d1[1], d1_wgh=d1[2],
+        d1_wcx=d1[3], d1_bc=d1[4], d1_wch=d1[5],
+        f_w=params["frame_proj"]["kernel"], f_b=params["frame_proj"]["bias"],
+    )
+
+
+def _gru_step(h, x, wgx, bg, wgh, wcx, bc, wch):
+    """TF1 GRU semantics (ops/gru.GRUCell), f32 accumulation on the MXU."""
+    ru = jax.nn.sigmoid(
+        jnp.dot(x, wgx, preferred_element_type=jnp.float32)
+        + jnp.dot(h, wgh, preferred_element_type=jnp.float32) + bg
+    )
+    d = h.shape[-1]
+    r, u = ru[:, :d], ru[:, d:]
+    c = jnp.tanh(
+        jnp.dot(x, wcx, preferred_element_type=jnp.float32)
+        + jnp.dot(r * h, wch, preferred_element_type=jnp.float32) + bc
+    )
+    return u * h + (1.0 - u) * c
+
+
+def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool):
+    def kernel(seed_ref, memory_ref, keys_ref, maskbias_ref, *refs):
+        *w_refs, frames_ref, align_ref, h_att, h0, h1, ctx, prev = refs
+        w = DecoderWeights(*[ref[:] for ref in w_refs])
+        if dropout:
+            # decorrelate batch tiles: each grid program gets its own stream
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+        b = memory_ref.shape[0]
+        t_in = memory_ref.shape[1]
+        mem_flat = memory_ref[:].reshape(b * t_in, -1)
+        keys_flat = keys_ref[:].reshape(b * t_in, -1)
+        maskbias = maskbias_ref[:]                      # (B, T_in) 0 / -1e9
+
+        h_att[:] = jnp.zeros_like(h_att)
+        h0[:] = jnp.zeros_like(h0)
+        h1[:] = jnp.zeros_like(h1)
+        ctx[:] = jnp.zeros_like(ctx)
+        prev[:] = jnp.zeros_like(prev)
+
+        def drop(x):
+            if not dropout:
+                return x
+            bits = pltpu.prng_random_bits(x.shape)
+            keep = bits < jnp.uint32(0x80000000)        # p = 0.5
+            return jnp.where(keep, x * 2.0, 0.0)
+
+        def step(t, _):
+            # prenet (dropout active, paper §3.2)
+            x = jnp.maximum(
+                jnp.dot(prev[:], w.p_w0, preferred_element_type=jnp.float32)
+                + w.p_b0, 0.0)
+            x = drop(x)
+            x = jnp.maximum(
+                jnp.dot(x, w.p_w1, preferred_element_type=jnp.float32)
+                + w.p_b1, 0.0)
+            x = drop(x)
+
+            gi = jnp.concatenate([x, ctx[:]], axis=-1)
+            h_att[:] = _gru_step(h_att[:], gi, w.ag_wgx, w.ag_bg, w.ag_wgh,
+                                 w.ag_wcx, w.ag_bc, w.ag_wch)
+
+            # Bahdanau energy / masked softmax / context — fused
+            q = jnp.dot(h_att[:], w.at_wq, preferred_element_type=jnp.float32)
+            e = jnp.tanh(keys_flat + jnp.repeat(q, t_in, axis=0))
+            scores = jnp.dot(e, w.at_v[:, None],
+                             preferred_element_type=jnp.float32)
+            scores = scores.reshape(b, t_in) + maskbias
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp(scores - m)
+            alpha = p / jnp.sum(p, axis=-1, keepdims=True)          # (B, T_in)
+            # context: weighted sum over encoder time (VPU reduce)
+            ctx[:] = (alpha.reshape(b, t_in, 1) * memory_ref[:]).sum(axis=1)
+            align_ref[t] = alpha
+
+            h = jnp.dot(jnp.concatenate([h_att[:], ctx[:]], axis=-1), w.ip_w,
+                        preferred_element_type=jnp.float32) + w.ip_b
+            h0[:] = _gru_step(h0[:], h, w.d0_wgx, w.d0_bg, w.d0_wgh,
+                              w.d0_wcx, w.d0_bc, w.d0_wch)
+            h = h + h0[:]
+            h1[:] = _gru_step(h1[:], h, w.d1_wgx, w.d1_bg, w.d1_wgh,
+                              w.d1_wcx, w.d1_bc, w.d1_wch)
+            h = h + h1[:]
+
+            frames = jnp.dot(h, w.f_w, preferred_element_type=jnp.float32) + w.f_b
+            frames_ref[t] = frames
+            prev[:] = frames[:, (r - 1) * n_mels :]
+            return 0
+
+        jax.lax.fori_loop(0, n_steps, step, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_steps", "dropout", "interpret")
+)
+def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
+                seed: int | jax.Array = 0, dropout: bool = True,
+                interpret: bool = False):
+    """Run the fused decode. memory/keys (B,T_in,D); mask (B,T_in) bool or None.
+
+    Returns (frames (B, n_steps, r*n_mels), alignments (B, n_steps, T_in)).
+    """
+    b, t_in, _ = memory.shape
+    r_nm = weights.f_w.shape[1]
+    n_mels = weights.p_w0.shape[0]
+    r = r_nm // n_mels
+    att_dim = weights.ag_wgh.shape[0]
+    dec_dim = weights.d0_wgh.shape[0]
+    mem_dim = memory.shape[2]
+
+    # Batch tiling: VMEM (~16 MB) cannot hold memory+keys+outputs for a big
+    # batch at once, so the grid walks batch tiles; weights are re-fetched per
+    # tile (a few MB of HBM traffic per tile — negligible vs the decode time).
+    bt = b if b <= 8 else 8
+    if b % bt != 0:
+        pad = bt - b % bt
+        memory = jnp.pad(memory, ((0, pad), (0, 0), (0, 0)))
+        keys = jnp.pad(keys, ((0, pad), (0, 0), (0, 0)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, pad), (0, 0)))
+        b_padded = b + pad
+    else:
+        b_padded = b
+    n_tiles = b_padded // bt
+
+    maskbias = (
+        jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
+        if mask is not None else jnp.zeros((b_padded, t_in), jnp.float32)
+    )
+    seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 else seed
+
+    w_list = list(weights)
+    kernel = _make_kernel(n_steps, n_mels, r, dropout)
+
+    frames, aligns = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_steps, b_padded, r_nm), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, b_padded, t_in), jnp.float32),
+        ),
+        in_specs=(
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]  # seed
+            + [
+                pl.BlockSpec((bt, t_in, mem_dim), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, t_in, keys.shape[2]), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, t_in), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            + [
+                pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
+                             memory_space=pltpu.VMEM)
+                for w in w_list
+            ]
+        ),
+        out_specs=(
+            pl.BlockSpec((n_steps, bt, r_nm), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_steps, bt, t_in), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bt, att_dim), jnp.float32),   # h_att
+            pltpu.VMEM((bt, dec_dim), jnp.float32),   # h0
+            pltpu.VMEM((bt, dec_dim), jnp.float32),   # h1
+            pltpu.VMEM((bt, mem_dim), jnp.float32),   # context
+            pltpu.VMEM((bt, n_mels), jnp.float32),    # prev frame
+        ],
+        interpret=interpret,
+    )(seed_arr, memory.astype(jnp.float32), keys.astype(jnp.float32),
+      maskbias, *[x.astype(jnp.float32) for x in w_list])
+
+    return frames.swapaxes(0, 1)[:b], aligns.swapaxes(0, 1)[:b]

@@ -1,0 +1,49 @@
+"""Native C++ batch assembler vs the numpy reference path."""
+
+import numpy as np
+import pytest
+
+from tacotron_tpu.config import AudioConfig
+from tacotron_tpu.data import ljspeech
+from tacotron_tpu.data.loader import DataLoader, Dataset
+from tacotron_tpu.native import load_batcher
+
+ACFG = AudioConfig(n_fft=512, win_length=400, hop_length=128, n_mels=20)
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    corpus = tmp_path_factory.mktemp("corpus")
+    data = tmp_path_factory.mktemp("data")
+    ljspeech.generate_synthetic_corpus(str(corpus), n=10, min_sec=0.3, max_sec=0.7)
+    ljspeech.preprocess(str(corpus), str(data), ACFG, chunk=4)
+    return str(data)
+
+
+def test_native_builds():
+    assert load_batcher() is not None, "g++ build of the native batcher failed"
+
+
+def test_native_matches_numpy_batches(data_dir):
+    ds = Dataset(data_dir)
+    dl_np = DataLoader(ds, batch_size=4, num_buckets=2, r=5, use_native=False)
+    dl_nat = DataLoader(ds, batch_size=4, num_buckets=2, r=5, use_native=True)
+    assert dl_nat.native is not None
+
+    for b_np, b_nat in zip(dl_np.epoch(shuffle=False), dl_nat.epoch(shuffle=False)):
+        np.testing.assert_array_equal(b_np.text, b_nat.text)
+        np.testing.assert_array_equal(b_np.text_len, b_nat.text_len)
+        np.testing.assert_array_equal(b_np.frame_len, b_nat.frame_len)
+        # f16->f32 conversion must be bit-exact vs numpy astype
+        np.testing.assert_array_equal(b_np.mel, b_nat.mel)
+        np.testing.assert_array_equal(b_np.linear, b_nat.linear)
+
+
+def test_native_handles_oversize_clipping(data_dir):
+    ds = Dataset(data_dir)
+    dl = DataLoader(ds, batch_size=2, num_buckets=1, r=5, use_native=True,
+                    drop_oversize=False)
+    for batch in dl.epoch(shuffle=False):
+        spec = dl.buckets[batch.bucket]
+        assert (batch.frame_len <= spec.n_frames).all()
+        assert (batch.text_len <= spec.text_len).all()

@@ -223,3 +223,37 @@ class TestCBHG:
         leaves = jax.tree_util.tree_leaves(g)
         assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
         assert any(float(jnp.abs(l).max()) > 0 for l in leaves)
+
+
+class TestConvBankPacked:
+    def test_packed_matches_unpacked(self):
+        """Packed single-conv evaluation must equal the K separate convs."""
+        b, t, c, k, ch = 2, 13, 8, 5, 8
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, t, c))
+        m_ref = ConvBank(k=k, channels=ch, train=False, packed=False)
+        vars_ref = m_ref.init(jax.random.PRNGKey(1), x)
+        m_pk = ConvBank(k=k, channels=ch, train=False, packed=True)
+        vars_pk = m_pk.init(jax.random.PRNGKey(2), x)
+        # same param structure: run packed with the unpacked params
+        assert jax.tree_util.tree_structure(vars_pk) == jax.tree_util.tree_structure(vars_ref)
+        y_ref = m_ref.apply(vars_ref, x)
+        y_pk = m_pk.apply(vars_ref, x)
+        np.testing.assert_allclose(np.asarray(y_pk), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_packed_grads_match(self):
+        b, t, c, k, ch = 1, 9, 4, 4, 4
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, t, c))
+        m_ref = ConvBank(k=k, channels=ch, train=False, packed=False)
+        vars_ = m_ref.init(jax.random.PRNGKey(1), x)
+        m_pk = ConvBank(k=k, channels=ch, train=False, packed=True)
+
+        def loss(m):
+            def f(p):
+                return jnp.sum(m.apply({"params": p, "batch_stats": vars_["batch_stats"]}, x) ** 2)
+            return jax.grad(f)(vars_["params"])
+
+        g_ref = loss(m_ref)
+        g_pk = loss(m_pk)
+        for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pk)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
