@@ -111,8 +111,8 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool):
         *w_refs, frames_ref, align_ref, h_att, h0, h1, ctx, prev = refs
         w = DecoderWeights(*[ref[:] for ref in w_refs])
         if dropout:
-            # decorrelate batch tiles: each grid program gets its own stream
-            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            # per-tile seed (decorrelated outside via seed + tile_index)
+            pltpu.prng_seed(seed_ref[0])
 
         b = memory_ref.shape[0]
         t_in = memory_ref.shape[1]
@@ -198,9 +198,11 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
     dec_dim = weights.d0_wgh.shape[0]
     mem_dim = memory.shape[2]
 
-    # Batch tiling: VMEM (~16 MB) cannot hold memory+keys+outputs for a big
-    # batch at once, so the grid walks batch tiles; weights are re-fetched per
-    # tile (a few MB of HBM traffic per tile — negligible vs the decode time).
+    # Batch tiling: VMEM (~16 MB) cannot hold memory+keys+outputs+weights for
+    # a big batch at once. Each pallas_call handles an 8-row tile (single
+    # program, no grid -> no double-buffering overhead) and lax.map walks the
+    # tiles; weights are re-fetched per tile (a few MB of HBM traffic —
+    # negligible vs decode time).
     bt = b if b <= 8 else 8
     if b % bt != 0:
         pad = bt - b % bt
@@ -217,39 +219,23 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
         jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
         if mask is not None else jnp.zeros((b_padded, t_in), jnp.float32)
     )
-    seed_arr = jnp.asarray([seed], jnp.int32) if jnp.ndim(seed) == 0 else seed
 
-    w_list = list(weights)
+    w_list = [x.astype(jnp.float32) for x in weights]
     kernel = _make_kernel(n_steps, n_mels, r, dropout)
 
-    frames, aligns = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
-        grid=(n_tiles,),
         out_shape=(
-            jax.ShapeDtypeStruct((n_steps, b_padded, r_nm), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, b_padded, t_in), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, bt, r_nm), jnp.float32),
+            jax.ShapeDtypeStruct((n_steps, bt, t_in), jnp.float32),
         ),
         in_specs=(
-            [pl.BlockSpec(memory_space=pltpu.SMEM)]  # seed
-            + [
-                pl.BlockSpec((bt, t_in, mem_dim), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, t_in, keys.shape[2]), lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bt, t_in), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
-            ]
-            + [
-                pl.BlockSpec(w.shape, (lambda i, nd=w.ndim: (0,) * nd),
-                             memory_space=pltpu.VMEM)
-                for w in w_list
-            ]
+            [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(w_list))
         ),
         out_specs=(
-            pl.BlockSpec((n_steps, bt, r_nm), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_steps, bt, t_in), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((bt, att_dim), jnp.float32),   # h_att
@@ -259,7 +245,20 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
             pltpu.VMEM((bt, n_mels), jnp.float32),    # prev frame
         ],
         interpret=interpret,
-    )(seed_arr, memory.astype(jnp.float32), keys.astype(jnp.float32),
-      maskbias, *[x.astype(jnp.float32) for x in w_list])
+    )
 
-    return frames.swapaxes(0, 1)[:b], aligns.swapaxes(0, 1)[:b]
+    mem_t = memory.astype(jnp.float32).reshape(n_tiles, bt, t_in, mem_dim)
+    keys_t = keys.astype(jnp.float32).reshape(n_tiles, bt, t_in, keys.shape[2])
+    bias_t = maskbias.reshape(n_tiles, bt, t_in)
+    seeds = (jnp.asarray(seed, jnp.int32) + jnp.arange(n_tiles, dtype=jnp.int32)
+             ).reshape(n_tiles, 1)
+
+    def one_tile(args):
+        s, m, k, mb = args
+        return call(s, m, k, mb, *w_list)
+
+    frames, aligns = jax.lax.map(one_tile, (seeds, mem_t, keys_t, bias_t))
+    # (n_tiles, n_steps, bt, ·) -> (B, n_steps, ·)
+    frames = frames.transpose(0, 2, 1, 3).reshape(b_padded, n_steps, r_nm)
+    aligns = aligns.transpose(0, 2, 1, 3).reshape(b_padded, n_steps, t_in)
+    return frames[:b], aligns[:b]
