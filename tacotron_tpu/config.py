@@ -34,6 +34,9 @@ class AudioConfig:
     min_level_db: float = -100.0
     griffin_lim_iters: int = 1000     # reference runs ~1000 iterations (BASELINE.json:10)
     griffin_lim_power: float = 1.5    # magnitude raised to 1.5 before inversion (paper §3.3)
+    # GL transform backend: "mm" = matmul-DFT on the MXU (bf16, fast path),
+    # "mm_f32" = matmul-DFT in f32, "fft" = jnp.fft (XLA FFT; slow on TPU)
+    gl_backend: str = "mm"
 
     @property
     def n_freq(self) -> int:

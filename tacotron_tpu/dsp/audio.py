@@ -86,12 +86,17 @@ def inv_spectrogram(
     """
     mag = db_to_amp(denormalize(s, cfg) + cfg.ref_level_db)
     mag = jnp.power(mag, cfg.griffin_lim_power)
-    y = griffin_lim(
-        mag,
+    kw = dict(
         n_fft=cfg.n_fft,
         hop_length=cfg.hop_length,
         win_length=cfg.win_length,
         n_iter=cfg.griffin_lim_iters if n_iter is None else n_iter,
         length=length,
     )
+    if cfg.gl_backend == "fft":
+        y = griffin_lim(mag, **kw)
+    else:  # matmul-DFT on the MXU (see dsp/dft.py)
+        from tacotron_tpu.dsp.dft import griffin_lim_mm
+
+        y = griffin_lim_mm(mag, lowp=(cfg.gl_backend == "mm"), **kw)
     return inv_preemphasis(y, cfg.preemphasis)

@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from tacotron_tpu.dsp.stft import _padded_window, frame_signal
+from tacotron_tpu.dsp.stft import _padded_window, frame_signal, overlap_add
 
 
 @functools.lru_cache(maxsize=4)
@@ -60,12 +60,25 @@ def _dft_matrices(n_fft: int, win_length: int):
     return fwd.astype(np.float32), bwd.astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))
-def stft_mm(y: jax.Array, n_fft: int, hop_length: int, win_length: int):
-    """Matmul STFT -> (re, im) pair, each (..., frames, n_bins)."""
+@functools.partial(jax.jit,
+                   static_argnames=("n_fft", "hop_length", "win_length", "lowp"))
+def stft_mm(y: jax.Array, n_fft: int, hop_length: int, win_length: int,
+            lowp: bool = False):
+    """Matmul STFT -> (re, im) pair, each (..., frames, n_bins).
+
+    ``lowp``: bf16 operands with f32 accumulation — single-pass MXU (~3x the
+    f32 path's throughput, ~0.3% relative error; fine for Griffin-Lim).
+    """
     frames = frame_signal(y, n_fft, hop_length)
     fwd, _ = _dft_matrices(n_fft, win_length)
-    out = frames @ jnp.asarray(fwd)  # (..., frames, 2*n_bins) one MXU matmul
+    fwd = jnp.asarray(fwd)
+    if lowp:
+        out = jax.lax.dot_general(
+            frames.astype(jnp.bfloat16), fwd.astype(jnp.bfloat16),
+            (((frames.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        out = frames @ fwd  # (..., frames, 2*n_bins) one MXU matmul
     n_bins = n_fft // 2 + 1
     return out[..., :n_bins], out[..., n_bins:]
 
@@ -77,26 +90,30 @@ def stft_mm_magnitude(y, n_fft, hop_length, win_length):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_fft", "hop_length", "win_length", "length")
+    jax.jit,
+    static_argnames=("n_fft", "hop_length", "win_length", "length", "lowp")
 )
 def istft_mm(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
-             win_length: int, length: int | None = None):
+             win_length: int, length: int | None = None, lowp: bool = False):
     """Matmul iSTFT with window-sum-square OLA (mirrors stft.istft)."""
     _, bwd = _dft_matrices(n_fft, win_length)
+    bwd = jnp.asarray(bwd)
     spec = jnp.concatenate([re, im], axis=-1)       # (..., frames, 2*n_bins)
-    frames_t = spec @ jnp.asarray(bwd)               # windowed real frames
+    if lowp:
+        frames_t = jax.lax.dot_general(
+            spec.astype(jnp.bfloat16), bwd.astype(jnp.bfloat16),
+            (((spec.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        frames_t = spec @ bwd                        # windowed real frames
 
     n_frames = frames_t.shape[-2]
     pad = n_fft // 2
     total = n_fft + hop_length * (n_frames - 1)
-    idx = (jnp.arange(n_frames)[:, None] * hop_length
-           + jnp.arange(n_fft)[None, :]).reshape(-1)
-    batch_shape = frames_t.shape[:-2]
-    flat = frames_t.reshape(batch_shape + (-1,))
-    y = jnp.zeros(batch_shape + (total,), frames_t.dtype).at[..., idx].add(flat)
+    y = overlap_add(frames_t, hop_length)
 
     win = _padded_window(win_length, n_fft, frames_t.dtype)
-    wss = jnp.zeros((total,), frames_t.dtype).at[idx].add(jnp.tile(win * win, n_frames))
+    wss = overlap_add(jnp.broadcast_to(win * win, (n_frames, n_fft)), hop_length)
     y = y / jnp.maximum(wss, 1e-11)
 
     y = y[..., pad : total - pad]
@@ -111,20 +128,23 @@ def istft_mm(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_fft", "hop_length", "win_length", "n_iter", "length"),
+    static_argnames=("n_fft", "hop_length", "win_length", "n_iter", "length",
+                     "lowp"),
 )
 def griffin_lim_mm(magnitude: jax.Array, *, n_fft: int, hop_length: int,
                    win_length: int, n_iter: int = 60,
-                   length: int | None = None) -> jax.Array:
+                   length: int | None = None, lowp: bool = True) -> jax.Array:
     """Griffin-Lim over the matmul transforms: every iteration is two MXU
-    matmuls + OLA, no XLA FFT anywhere."""
+    matmuls + OLA, no XLA FFT anywhere. bf16 single-pass matmuls by default
+    (GL re-imposes the target magnitude every iteration, so transform noise
+    does not accumulate; verified against the f32 path in tests)."""
     mag = magnitude.astype(jnp.float32)
     re, im = mag, jnp.zeros_like(mag)
 
     def body(_, carry):
         re, im = carry
-        y = istft_mm(re, im, n_fft, hop_length, win_length)
-        re2, im2 = stft_mm(y, n_fft, hop_length, win_length)
+        y = istft_mm(re, im, n_fft, hop_length, win_length, lowp=lowp)
+        re2, im2 = stft_mm(y, n_fft, hop_length, win_length, lowp=lowp)
         norm = jnp.maximum(jnp.sqrt(re2 * re2 + im2 * im2), 1e-8)
         return mag * re2 / norm, mag * im2 / norm
 

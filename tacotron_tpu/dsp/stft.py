@@ -39,14 +39,24 @@ def num_frames(n_samples: int, hop_length: int) -> int:
 
 
 def frame_signal(y: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
-    """(..., T) -> (..., frames, n_fft) overlapping frames, centre reflect-padded."""
+    """(..., T) -> (..., frames, n_fft) overlapping frames, centre reflect-padded.
+
+    Framing is built from hop-sized blocks with m = ceil(n_fft/hop) static
+    shifted slices (the exact adjoint of overlap_add) instead of a fancy-index
+    gather — gathers serialize on TPU and dominated Griffin-Lim profiles.
+    """
     pad = n_fft // 2
     pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
     y = jnp.pad(y, pad_width, mode="reflect")
     n = y.shape[-1]
-    frames = (n - n_fft) // hop_length + 1
-    idx = jnp.arange(frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]
-    return y[..., idx]
+    f = (n - n_fft) // hop_length + 1
+    m = -(-n_fft // hop_length)
+    total = (f + m) * hop_length
+    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, total - n)])
+    blocks = y.reshape(*y.shape[:-1], f + m, hop_length)
+    parts = [blocks[..., j : j + f, :] for j in range(m)]
+    frames = jnp.concatenate(parts, axis=-1)   # (..., f, m*hop)
+    return frames[..., :n_fft]
 
 
 @functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))
@@ -62,6 +72,26 @@ def stft_magnitude(
     y: jax.Array, n_fft: int, hop_length: int, win_length: int
 ) -> jax.Array:
     return jnp.abs(stft(y, n_fft, hop_length, win_length))
+
+
+def overlap_add(frames_t: jax.Array, hop_length: int) -> jax.Array:
+    """OLA without scatter: (..., F, n_fft) -> (..., n_fft + hop*(F-1)).
+
+    A scatter-add OLA serializes on TPU (measured: it dominated Griffin-Lim).
+    Instead, pad each frame to a multiple of hop, split into m = ceil(n_fft/
+    hop) hop-sized chunks, and add chunk j into output block row i+j — m
+    shifted adds of dense (F, hop) arrays, all VPU-vectorised.
+    """
+    *batch, f, n_fft = frames_t.shape
+    m = -(-n_fft // hop_length)              # chunks per frame
+    p = m * hop_length
+    fr = jnp.pad(frames_t, [(0, 0)] * len(batch) + [(0, 0), (0, p - n_fft)])
+    fr = fr.reshape(*batch, f, m, hop_length)
+    out = jnp.zeros((*batch, f + m, hop_length), frames_t.dtype)
+    for j in range(m):
+        out = out.at[..., j : j + f, :].add(fr[..., :, j, :])
+    total = n_fft + hop_length * (f - 1)
+    return out.reshape(*batch, (f + m) * hop_length)[..., :total]
 
 
 @functools.partial(
@@ -87,14 +117,10 @@ def istft(
     pad = n_fft // 2
     total = n_fft + hop_length * (n_frames - 1)
 
-    # Overlap-add via scatter-add over flattened frame positions.
-    idx = (jnp.arange(n_frames)[:, None] * hop_length + jnp.arange(n_fft)[None, :]).reshape(-1)
-    batch_shape = frames_t.shape[:-2]
-    flat = frames_t.reshape(batch_shape + (-1,))
-    y = jnp.zeros(batch_shape + (total,), frames_t.dtype).at[..., idx].add(flat)
+    y = overlap_add(frames_t, hop_length)
 
     # Window sum-square normalisation (shared across batch).
-    wss = jnp.zeros((total,), frames_t.dtype).at[idx].add(jnp.tile(win * win, n_frames))
+    wss = overlap_add(jnp.broadcast_to(win * win, (n_frames, n_fft)), hop_length)
     y = y / jnp.maximum(wss, 1e-11)
 
     y = y[..., pad : total - pad]

@@ -92,23 +92,32 @@ def pack_decoder_weights(params, memory_proj_kernel=None) -> DecoderWeights:
 
 
 def _gru_step(h, x, wgx, bg, wgh, wcx, bc, wch):
-    """TF1 GRU semantics (ops/gru.GRUCell), f32 accumulation on the MXU."""
+    """TF1 GRU semantics (ops/gru.GRUCell): bf16/f32 MXU dots, f32 accumulation,
+    f32 state and elementwise math."""
+    wd = wgx.dtype
     ru = jax.nn.sigmoid(
-        jnp.dot(x, wgx, preferred_element_type=jnp.float32)
-        + jnp.dot(h, wgh, preferred_element_type=jnp.float32) + bg
+        jnp.dot(x.astype(wd), wgx, preferred_element_type=jnp.float32)
+        + jnp.dot(h.astype(wd), wgh, preferred_element_type=jnp.float32)
+        + bg.astype(jnp.float32)
     )
     d = h.shape[-1]
     r, u = ru[:, :d], ru[:, d:]
     c = jnp.tanh(
-        jnp.dot(x, wcx, preferred_element_type=jnp.float32)
-        + jnp.dot(r * h, wch, preferred_element_type=jnp.float32) + bc
+        jnp.dot(x.astype(wd), wcx, preferred_element_type=jnp.float32)
+        + jnp.dot((r * h).astype(wd), wch, preferred_element_type=jnp.float32)
+        + bc.astype(jnp.float32)
     )
     return u * h + (1.0 - u) * c
 
 
-def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool):
+def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
+                 collect_aligns: bool):
     def kernel(seed_ref, memory_ref, keys_ref, maskbias_ref, *refs):
-        *w_refs, frames_ref, align_ref, h_att, h0, h1, ctx, prev = refs
+        if collect_aligns:
+            *w_refs, frames_ref, align_ref, h_att, h0, h1, ctx, prev = refs
+        else:
+            *w_refs, frames_ref, h_att, h0, h1, ctx, prev = refs
+            align_ref = None
         w = DecoderWeights(*[ref[:] for ref in w_refs])
         if dropout:
             # per-tile seed (decorrelated outside via seed + tile_index)
@@ -116,8 +125,7 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool):
 
         b = memory_ref.shape[0]
         t_in = memory_ref.shape[1]
-        mem_flat = memory_ref[:].reshape(b * t_in, -1)
-        keys_flat = keys_ref[:].reshape(b * t_in, -1)
+        keys_flat = keys_ref[:].reshape(b * t_in, -1)   # bf16 on the fast path
         maskbias = maskbias_ref[:]                      # (B, T_in) 0 / -1e9
 
         h_att[:] = jnp.zeros_like(h_att)
@@ -129,40 +137,53 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool):
         def drop(x):
             if not dropout:
                 return x
-            bits = pltpu.prng_random_bits(x.shape)
+            # prng_random_bits returns int32 — bitcast before the unsigned
+            # threshold compare (signed compare keeps everything)
+            bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
             keep = bits < jnp.uint32(0x80000000)        # p = 0.5
             return jnp.where(keep, x * 2.0, 0.0)
+
+        wd = w.p_w0.dtype  # storage dtype (bf16 on the fast path)
 
         def step(t, _):
             # prenet (dropout active, paper §3.2)
             x = jnp.maximum(
-                jnp.dot(prev[:], w.p_w0, preferred_element_type=jnp.float32)
-                + w.p_b0, 0.0)
+                jnp.dot(prev[:].astype(wd), w.p_w0,
+                        preferred_element_type=jnp.float32)
+                + w.p_b0.astype(jnp.float32), 0.0)
             x = drop(x)
             x = jnp.maximum(
-                jnp.dot(x, w.p_w1, preferred_element_type=jnp.float32)
-                + w.p_b1, 0.0)
+                jnp.dot(x.astype(wd), w.p_w1,
+                        preferred_element_type=jnp.float32)
+                + w.p_b1.astype(jnp.float32), 0.0)
             x = drop(x)
 
             gi = jnp.concatenate([x, ctx[:]], axis=-1)
             h_att[:] = _gru_step(h_att[:], gi, w.ag_wgx, w.ag_bg, w.ag_wgh,
                                  w.ag_wcx, w.ag_bc, w.ag_wch)
 
-            # Bahdanau energy / masked softmax / context — fused
-            q = jnp.dot(h_att[:], w.at_wq, preferred_element_type=jnp.float32)
-            e = jnp.tanh(keys_flat + jnp.repeat(q, t_in, axis=0))
-            scores = jnp.dot(e, w.at_v[:, None],
+            # Bahdanau energy / masked softmax / context — fused. Energies in
+            # the storage dtype (bf16 fast path), f32 score accumulation.
+            q = jnp.dot(h_att[:].astype(wd), w.at_wq,
+                        preferred_element_type=jnp.float32)
+            e = jnp.tanh(keys_flat
+                         + jnp.repeat(q.astype(keys_flat.dtype), t_in, axis=0))
+            scores = jnp.dot(e, w.at_v[:, None].astype(e.dtype),
                              preferred_element_type=jnp.float32)
             scores = scores.reshape(b, t_in) + maskbias
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = jnp.exp(scores - m)
             alpha = p / jnp.sum(p, axis=-1, keepdims=True)          # (B, T_in)
-            # context: weighted sum over encoder time (VPU reduce)
-            ctx[:] = (alpha.reshape(b, t_in, 1) * memory_ref[:]).sum(axis=1)
-            align_ref[t] = alpha
+            # context: weighted sum over encoder time; bf16 product with f32
+            # accumulation keeps the transient small on the fast path
+            prod = alpha.reshape(b, t_in, 1).astype(memory_ref.dtype) * memory_ref[:]
+            ctx[:] = prod.sum(axis=1, dtype=jnp.float32)
+            if collect_aligns:
+                align_ref[t] = alpha
 
-            h = jnp.dot(jnp.concatenate([h_att[:], ctx[:]], axis=-1), w.ip_w,
-                        preferred_element_type=jnp.float32) + w.ip_b
+            h = jnp.dot(jnp.concatenate([h_att[:], ctx[:]], axis=-1).astype(wd),
+                        w.ip_w, preferred_element_type=jnp.float32) \
+                + w.ip_b.astype(jnp.float32)
             h0[:] = _gru_step(h0[:], h, w.d0_wgx, w.d0_bg, w.d0_wgh,
                               w.d0_wcx, w.d0_bc, w.d0_wch)
             h = h + h0[:]
@@ -170,7 +191,9 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool):
                               w.d1_wcx, w.d1_bc, w.d1_wch)
             h = h + h1[:]
 
-            frames = jnp.dot(h, w.f_w, preferred_element_type=jnp.float32) + w.f_b
+            frames = jnp.dot(h.astype(wd), w.f_w,
+                             preferred_element_type=jnp.float32) \
+                + w.f_b.astype(jnp.float32)
             frames_ref[t] = frames
             prev[:] = frames[:, (r - 1) * n_mels :]
             return 0
@@ -181,14 +204,22 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_steps", "dropout", "interpret")
+    jax.jit,
+    static_argnames=("n_steps", "dropout", "interpret", "collect_alignments",
+                     "lowp", "batch_tile"),
 )
 def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
                 seed: int | jax.Array = 0, dropout: bool = True,
-                interpret: bool = False):
+                interpret: bool = False, collect_alignments: bool = True,
+                lowp: bool = True, batch_tile: int | None = None):
     """Run the fused decode. memory/keys (B,T_in,D); mask (B,T_in) bool or None.
 
-    Returns (frames (B, n_steps, r*n_mels), alignments (B, n_steps, T_in)).
+    Returns (frames (B, n_steps, r*n_mels), alignments (B, n_steps, T_in) or
+    None when collect_alignments=False).
+
+    ``lowp``: store memory/keys/weights in bf16 (f32 accumulation everywhere;
+    energies/context products bf16). Halves VMEM -> bigger batch tiles ->
+    fewer sequential tile passes.
     """
     b, t_in, _ = memory.shape
     r_nm = weights.f_w.shape[1]
@@ -197,13 +228,18 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
     att_dim = weights.ag_wgh.shape[0]
     dec_dim = weights.d0_wgh.shape[0]
     mem_dim = memory.shape[2]
+    sdtype = jnp.bfloat16 if lowp else jnp.float32
 
     # Batch tiling: VMEM (~16 MB) cannot hold memory+keys+outputs+weights for
-    # a big batch at once. Each pallas_call handles an 8-row tile (single
-    # program, no grid -> no double-buffering overhead) and lax.map walks the
-    # tiles; weights are re-fetched per tile (a few MB of HBM traffic —
-    # negligible vs decode time).
-    bt = b if b <= 8 else 8
+    # a big batch at once. Each pallas_call handles one tile (single program,
+    # no grid -> no double-buffering overhead) and lax.map walks the tiles;
+    # weights are re-fetched per tile (a few MB of HBM traffic — negligible).
+    if batch_tile is not None:
+        bt = min(b, batch_tile)
+    elif not lowp:
+        bt = min(b, 8)
+    else:
+        bt = min(b, 16 if collect_alignments else 32)
     if b % bt != 0:
         pad = bt - b % bt
         memory = jnp.pad(memory, ((0, pad), (0, 0), (0, 0)))
@@ -220,23 +256,23 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
         if mask is not None else jnp.zeros((b_padded, t_in), jnp.float32)
     )
 
-    w_list = [x.astype(jnp.float32) for x in weights]
-    kernel = _make_kernel(n_steps, n_mels, r, dropout)
+    w_list = [x.astype(sdtype) for x in weights]
+    kernel = _make_kernel(n_steps, n_mels, r, dropout, collect_alignments)
+
+    out_shape = [jax.ShapeDtypeStruct((n_steps, bt, r_nm), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    if collect_alignments:
+        out_shape.append(jax.ShapeDtypeStruct((n_steps, bt, t_in), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
 
     call = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((n_steps, bt, r_nm), jnp.float32),
-            jax.ShapeDtypeStruct((n_steps, bt, t_in), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         in_specs=(
             [pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(w_list))
         ),
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((bt, att_dim), jnp.float32),   # h_att
             pltpu.VMEM((bt, dec_dim), jnp.float32),   # h0
@@ -247,8 +283,8 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
         interpret=interpret,
     )
 
-    mem_t = memory.astype(jnp.float32).reshape(n_tiles, bt, t_in, mem_dim)
-    keys_t = keys.astype(jnp.float32).reshape(n_tiles, bt, t_in, keys.shape[2])
+    mem_t = memory.astype(sdtype).reshape(n_tiles, bt, t_in, mem_dim)
+    keys_t = keys.astype(sdtype).reshape(n_tiles, bt, t_in, keys.shape[2])
     bias_t = maskbias.reshape(n_tiles, bt, t_in)
     seeds = (jnp.asarray(seed, jnp.int32) + jnp.arange(n_tiles, dtype=jnp.int32)
              ).reshape(n_tiles, 1)
@@ -257,8 +293,10 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
         s, m, k, mb = args
         return call(s, m, k, mb, *w_list)
 
-    frames, aligns = jax.lax.map(one_tile, (seeds, mem_t, keys_t, bias_t))
+    outs = jax.lax.map(one_tile, (seeds, mem_t, keys_t, bias_t))
     # (n_tiles, n_steps, bt, ·) -> (B, n_steps, ·)
-    frames = frames.transpose(0, 2, 1, 3).reshape(b_padded, n_steps, r_nm)
-    aligns = aligns.transpose(0, 2, 1, 3).reshape(b_padded, n_steps, t_in)
+    frames = outs[0].transpose(0, 2, 1, 3).reshape(b_padded, n_steps, r_nm)
+    if not collect_alignments:
+        return frames[:b], None
+    aligns = outs[1].transpose(0, 2, 1, 3).reshape(b_padded, n_steps, t_in)
     return frames[:b], aligns[:b]

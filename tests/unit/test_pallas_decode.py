@@ -69,7 +69,8 @@ def test_fused_decode_matches_flax_scan(setup):
     memory, keys, mask = _encoder_outputs(model, variables, text, lengths)
     w = pack_decoder_weights(variables["params"]["decoder"]["cell"])
     frames, aligns = decode_loop(
-        memory, keys, mask, w, n_steps=n_steps, dropout=False, interpret=True
+        memory, keys, mask, w, n_steps=n_steps, dropout=False, interpret=True,
+        lowp=False,
     )
     mel = frames.reshape(frames.shape[0], n_steps * CFG.r, CFG.n_mels)
 
@@ -79,13 +80,23 @@ def test_fused_decode_matches_flax_scan(setup):
     np.testing.assert_allclose(np.asarray(aligns), np.asarray(ref.alignments),
                                rtol=1e-3, atol=2e-4)
 
+    # bf16 fast path: looser tolerance, no alignments output
+    frames16, none_aligns = decode_loop(
+        memory, keys, mask, w, n_steps=n_steps, dropout=False, interpret=True,
+        lowp=True, collect_alignments=False,
+    )
+    assert none_aligns is None
+    mel16 = frames16.reshape(frames16.shape[0], n_steps * CFG.r, CFG.n_mels)
+    np.testing.assert_allclose(np.asarray(mel16), np.asarray(ref.mel),
+                               rtol=0.1, atol=0.05)
+
 
 def test_fused_decode_respects_mask(setup):
     model, variables, text, lengths = setup
     memory, keys, mask = _encoder_outputs(model, variables, text, lengths)
     w = pack_decoder_weights(variables["params"]["decoder"]["cell"])
     _, aligns = decode_loop(memory, keys, mask, w, n_steps=3, dropout=False,
-                            interpret=True)
+                            interpret=True, lowp=False)
     a = np.asarray(aligns)
     # masked encoder positions must carry ~zero attention weight
     assert a[1, :, 12:].max() < 1e-6
