@@ -32,12 +32,21 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=None)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) before first use")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY.md §5.2)")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="every N steps: synthesize --eval-text and write an "
+                        "audio + alignment summary (reference behavior, "
+                        "SURVEY.md §5.5); 0 = off")
+    p.add_argument("--eval-text", default="the quick brown fox jumps over the lazy dog")
     args = p.parse_args(argv)
 
     import jax
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from tacotron_tpu.config import get_config
@@ -131,6 +140,18 @@ def main(argv=None):
                 if multihost.is_primary():
                     checkpoint.save(ckpt_dir, step, state)
                 multihost.barrier("post-ckpt")
+
+            if args.eval_every and step % args.eval_every == 0 \
+                    and multihost.is_primary():
+                from tacotron_tpu.infer import Synthesizer
+
+                synth = Synthesizer(cfg, state.params, state.batch_stats,
+                                    ds.vocab)
+                out = synth([args.eval_text], gl_iters=60)
+                writer.audio("eval/audio", out["wavs"][0],
+                             cfg.audio.sample_rate, step)
+                writer.alignment("eval/alignment", out["alignments"][0], step)
+                writer.flush()
 
     if multihost.is_primary():
         checkpoint.save(ckpt_dir, step, state)
