@@ -110,6 +110,26 @@ class _ScanGRU(nn.Module):
         return ys, h_last
 
 
+class _GRUDirParams(nn.Module):
+    """One direction's params (same tree as _ScanGRU) + hoisted projections."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xs):
+        d = self.features
+        init = nn.initializers.lecun_normal()
+        gx = nn.Dense(2 * d, name="gates_x", bias_init=nn.initializers.ones,
+                      param_dtype=self.param_dtype)(xs)
+        cx = nn.Dense(d, name="cand_x", param_dtype=self.param_dtype)(xs)
+        wg_h = self.param("gates_h",
+                          lambda k: {"kernel": init(k, (d, 2 * d), self.param_dtype)})["kernel"]
+        wc_h = self.param("cand_h",
+                          lambda k: {"kernel": init(k, (d, d), self.param_dtype)})["kernel"]
+        return gx, cx, wg_h, wc_h
+
+
 class unidirectional_gru(nn.Module):
     features: int
     param_dtype: jnp.dtype = jnp.float32
@@ -122,15 +142,73 @@ class unidirectional_gru(nn.Module):
 
 
 class bidirectional_gru(nn.Module):
-    """Concat of forward and backward GRU outputs: (B, T, 2*features)."""
+    """Concat of forward and backward GRU outputs: (B, T, 2*features).
+
+    ``stacked=True`` (default) runs BOTH directions in ONE lax.scan: the
+    backward stream's inputs are time-reversed and stacked on the batch axis,
+    and the two directions' recurrent weights form a 2-group batched matmul.
+    Sequential chain length halves (T steps instead of 2T) — the encoder and
+    post-net biGRUs are among the longest serial chains in the training step.
+    Param layout is identical to the two-scan form (fwd/bwd submodule trees).
+    """
 
     features: int
     param_dtype: jnp.dtype = jnp.float32
+    stacked: bool = True
 
     @nn.compact
     def __call__(self, xs, lengths=None):
-        fwd, _ = _ScanGRU(self.features, reverse=False, param_dtype=self.param_dtype,
-                          name="fwd")(xs)
-        bwd, _ = _ScanGRU(self.features, reverse=True, param_dtype=self.param_dtype,
-                          name="bwd")(xs, lengths=lengths)
-        return jnp.concatenate([fwd, bwd], axis=-1)
+        if not self.stacked:
+            fwd, _ = _ScanGRU(self.features, reverse=False,
+                              param_dtype=self.param_dtype, name="fwd")(xs)
+            bwd, _ = _ScanGRU(self.features, reverse=True,
+                              param_dtype=self.param_dtype, name="bwd")(xs,
+                                                                        lengths=lengths)
+            return jnp.concatenate([fwd, bwd], axis=-1)
+
+        b, t, _ = xs.shape
+        d = self.features
+        # param trees identical to _ScanGRU's fwd/ and bwd/ scopes
+        fwd = _GRUDirParams(d, self.param_dtype, name="fwd")
+        bwd = _GRUDirParams(d, self.param_dtype, name="bwd")
+
+        # hoisted input projections for both directions
+        gx_f, cx_f, fwd_gh, fwd_ch = fwd(xs)
+        if lengths is not None:
+            idx = jnp.arange(t)
+            rev = jnp.where(idx[None, :] < lengths[:, None],
+                            lengths[:, None] - 1 - idx[None, :], idx[None, :])
+            xs_r = jnp.take_along_axis(xs, rev[..., None], axis=1)
+        else:
+            xs_r = xs[:, ::-1]
+        gx_b, cx_b, bwd_gh, bwd_ch = bwd(xs_r)
+
+        # stack directions on the batch axis: (T, 2B, ·)
+        gx = jnp.concatenate([gx_f, gx_b], axis=0).swapaxes(0, 1)
+        cx = jnp.concatenate([cx_f, cx_b], axis=0).swapaxes(0, 1)
+        wgh = jnp.stack([fwd_gh, bwd_gh])     # (2, d, 2d)
+        wch = jnp.stack([fwd_ch, bwd_ch])     # (2, d, d)
+
+        def step(h, inp):
+            gx_t, cx_t = inp                   # (2B, ·)
+            hg = h.reshape(2, b, d)
+            rec_g = jax.lax.dot_general(       # 2-group batched matmul
+                hg, wgh, (((2,), (1,)), ((0,), (0,)))).reshape(2 * b, 2 * d)
+            ru = jax.nn.sigmoid(gx_t + rec_g)
+            r, u = jnp.split(ru, 2, axis=-1)
+            rh = (r * h).reshape(2, b, d)
+            rec_c = jax.lax.dot_general(
+                rh, wch, (((2,), (1,)), ((0,), (0,)))).reshape(2 * b, d)
+            c = jnp.tanh(cx_t + rec_c)
+            h_new = u * h + (1.0 - u) * c
+            return h_new, h_new
+
+        h0 = jnp.zeros((2 * b, d), xs.dtype)
+        _, ys = jax.lax.scan(step, h0, (gx, cx))
+        ys = ys.swapaxes(0, 1)                 # (2B, T, d)
+        out_f, out_b = ys[:b], ys[b:]
+        if lengths is not None:
+            out_b = jnp.take_along_axis(out_b, rev[..., None], axis=1)
+        else:
+            out_b = out_b[:, ::-1]
+        return jnp.concatenate([out_f, out_b], axis=-1)

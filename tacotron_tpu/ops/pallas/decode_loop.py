@@ -80,7 +80,7 @@ def pack_decoder_weights(params, memory_proj_kernel=None) -> DecoderWeights:
         p_w1=pre["fc1"]["kernel"], p_b1=pre["fc1"]["bias"],
         ag_wgx=ag[0], ag_bg=ag[1], ag_wgh=ag[2],
         ag_wcx=ag[3], ag_bc=ag[4], ag_wch=ag[5],
-        at_wq=att["query"]["kernel"], at_v=att["v"][:, 0],
+        at_wq=att["query"]["kernel"], at_v=att["v"],  # (dim, 1), kept 2-D for Mosaic
         ip_w=params["decoder_input_proj"]["kernel"],
         ip_b=params["decoder_input_proj"]["bias"],
         d0_wgx=d0[0], d0_bg=d0[1], d0_wgh=d0[2],
@@ -168,7 +168,7 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
                         preferred_element_type=jnp.float32)
             e = jnp.tanh(keys_flat
                          + jnp.repeat(q.astype(keys_flat.dtype), t_in, axis=0))
-            scores = jnp.dot(e, w.at_v[:, None].astype(e.dtype),
+            scores = jnp.dot(e, w.at_v.astype(e.dtype),
                              preferred_element_type=jnp.float32)
             scores = scores.reshape(b, t_in) + maskbias
             m = jnp.max(scores, axis=-1, keepdims=True)

@@ -257,3 +257,31 @@ class TestConvBankPacked:
         g_pk = loss(m_pk)
         for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pk)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
+
+
+class TestStackedBiGRU:
+    def test_stacked_matches_two_scan(self):
+        """Single-scan (stacked directions) biGRU == two-scan reference,
+        including tail masking via lengths."""
+        b, t, d_in, d = 3, 9, 5, 6
+        xs = jax.random.normal(jax.random.PRNGKey(0), (b, t, d_in))
+        lengths = jnp.array([9, 6, 4])
+        m_ref = bidirectional_gru(d, stacked=False)
+        params = m_ref.init(jax.random.PRNGKey(1), xs, lengths=lengths)
+        m_st = bidirectional_gru(d, stacked=True)
+        params_st = m_st.init(jax.random.PRNGKey(2), xs, lengths=lengths)
+        assert jax.tree_util.tree_structure(params_st) == jax.tree_util.tree_structure(params)
+        y_ref = m_ref.apply(params, xs, lengths=lengths)
+        y_st = m_st.apply(params, xs, lengths=lengths)
+        np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_stacked_no_lengths(self):
+        b, t, d = 2, 7, 4
+        xs = jax.random.normal(jax.random.PRNGKey(3), (b, t, 3))
+        m_ref = bidirectional_gru(d, stacked=False)
+        params = m_ref.init(jax.random.PRNGKey(4), xs)
+        y_ref = m_ref.apply(params, xs)
+        y_st = bidirectional_gru(d, stacked=True).apply(params, xs)
+        np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-6)
