@@ -1,0 +1,107 @@
+"""Roofline report for the three named kernels (BASELINE.json:5; SURVEY.md §5.1).
+
+Times each kernel steady-state on the real chip and prints achieved vs peak
+(speed-of-light) accounting via utils/roofline. Appends a JSON line per kernel.
+
+Run: python scripts/roofline_report.py   (uses the axon TPU; slow first compile)
+"""
+
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tacotron_tpu.config import get_config
+from tacotron_tpu.utils.roofline import (
+    KernelRoofline, conv_bank_flops, decode_step_flops, gl_iteration_flops,
+)
+
+
+def force(x):
+    return float(jnp.sum(jnp.abs(x)))
+
+
+def timed(fn, n=3):
+    force(fn())
+    t0 = time.time()
+    for _ in range(n):
+        r = fn()
+    force(r)
+    return (time.time() - t0) / n
+
+
+def main():
+    results = []
+
+    # ---- STFT / Griffin-Lim iteration (matmul-DFT backend)
+    from tacotron_tpu.dsp.stft import stft
+    from tacotron_tpu.dsp.dft import griffin_lim_mm
+
+    kw = dict(n_fft=2048, hop_length=275, win_length=1102)
+    B, sec = 32, 5
+    rs = np.random.default_rng(0)
+    y = jnp.asarray(rs.standard_normal((B, 22050 * sec)).astype(np.float32))
+    mag = jnp.abs(stft(y, **kw))
+    frames = mag.shape[1]
+
+    n_iter = 50
+    t_gl = timed(lambda: griffin_lim_mm(mag, **kw, n_iter=n_iter), n=2)
+    per_iter = t_gl / n_iter
+    fl = gl_iteration_flops(B, frames, kw["n_fft"])
+    # bytes: frames matrix r/w both directions (bf16 in, f32 out) + spec
+    byts = B * frames * (2048 * 2 + 2050 * 4) * 2
+    results.append(KernelRoofline("griffin_lim_iteration(mm,bf16)", fl, byts,
+                                  per_iter).report())
+
+    # ---- conv bank (packed single-conv form) fwd
+    from tacotron_tpu.ops.modules import ConvBank
+
+    bank = ConvBank(k=16, channels=128, train=False, packed=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (32, 128, 128))
+    variables = bank.init(jax.random.PRNGKey(1), x)
+    apply_fn = jax.jit(lambda v, x: bank.apply(v, x))
+    t_bank = timed(lambda: apply_fn(variables, x))
+    fl = conv_bank_flops(32, 128, 128, 16, 128, packed=True)
+    byts = (32 * 128 * 128 + 16 * 128 * 16 * 128 + 32 * 128 * 2048) * 4
+    results.append(KernelRoofline("conv_bank_K16(packed)", fl, byts,
+                                  t_bank).report())
+
+    # ---- fused decode step (Pallas, no alignments, bt=32)
+    from tacotron_tpu.models import Tacotron
+    from tacotron_tpu.ops.pallas.decode_loop import (
+        decode_loop, pack_decoder_weights,
+    )
+
+    cfg = dataclasses.replace(get_config("full_1chip").model, vocab_size=64)
+    model = Tacotron(cfg, train=False)
+    text = jnp.ones((32, 128), jnp.int32)
+    lens = jnp.full((32,), 128, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        text, lens, gt_mel=jnp.zeros((32, 2 * cfg.r, cfg.n_mels)),
+    )
+    w = pack_decoder_weights(variables["params"]["decoder"]["cell"])
+    mem = jax.random.normal(jax.random.PRNGKey(2), (32, 128, 256))
+    keys = jax.random.normal(jax.random.PRNGKey(3), (32, 128, 256))
+    n_steps = 200
+    t_dec = timed(lambda: decode_loop(mem, keys, None, w, n_steps=n_steps,
+                                      dropout=False,
+                                      collect_alignments=False)[0], n=2)
+    per_step = t_dec / n_steps
+    fl = decode_step_flops(32, 128)
+    byts = 1_600_000 * 2  # bf16 weights re-read once per batch tile, amortised
+    results.append(KernelRoofline("fused_decode_step(bt=32)", fl,
+                                  byts / n_steps, per_step).report())
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -17,6 +17,10 @@ def main(argv=None):
     p.add_argument("--data-dir", required=True)
     p.add_argument("--preset", default="full_1chip")
     p.add_argument("--limit", type=int, default=None)
+    p.add_argument("--format", default="ljspeech",
+                   choices=["ljspeech", "vctk", "arctic", "blizzard"],
+                   help="corpus layout (reference shipped loaders for "
+                        "Nancy/Blizzard, ARCTIC, VCTK; LJSpeech is primary)")
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate an N-utterance synthetic corpus first (tests/demo)")
@@ -32,7 +36,8 @@ def main(argv=None):
         )
     t0 = time.time()
     stats = ljspeech.preprocess(args.corpus_dir, args.data_dir, cfg.audio,
-                                limit=args.limit, chunk=args.chunk)
+                                limit=args.limit, chunk=args.chunk,
+                                fmt=args.format)
     stats["seconds"] = round(time.time() - t0, 2)
     print(json.dumps(stats))
 

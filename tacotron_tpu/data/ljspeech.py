@@ -55,19 +55,76 @@ def save_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:
         f.writeframes(pcm.tobytes())
 
 
-def read_metadata(corpus_dir: str) -> list[tuple[str, str, str]]:
-    """LJSpeech metadata.csv: id|transcript|normalized -> [(id, wav_path, text)]."""
-    entries = []
-    with open(os.path.join(corpus_dir, "metadata.csv"), encoding="utf-8") as f:
-        for line in f:
-            parts = line.rstrip("\n").split("|")
-            if len(parts) < 2:
+def read_metadata(corpus_dir: str, fmt: str = "ljspeech") -> list[tuple[str, str, str]]:
+    """Corpus metadata -> [(id, wav_path, text)].
+
+    Formats mirror the reference's per-dataset loaders (SURVEY.md §2.1 #2 [R]:
+    the public repo shipped Nancy/Blizzard-2011, CMU ARCTIC and VCTK; this
+    project's primary target is LJSpeech [B:2,7,9]):
+      ljspeech  metadata.csv `id|transcript|normalized`, wavs/<id>.wav
+      vctk      txt/<spk>/<id>.txt one-transcript files, wav48/<spk>/<id>.wav
+      arctic    etc/txt.done.data lines `( id "text" )`, wav/<id>.wav
+      blizzard  prompts.gui / prompts.data style `( id "text" )`, wavn/<id>.wav
+    """
+    if fmt == "ljspeech":
+        entries = []
+        with open(os.path.join(corpus_dir, "metadata.csv"), encoding="utf-8") as f:
+            for line in f:
+                parts = line.rstrip("\n").split("|")
+                if len(parts) < 2:
+                    continue
+                utt_id = parts[0]
+                text = parts[2] if len(parts) > 2 and parts[2] else parts[1]
+                wav = os.path.join(corpus_dir, "wavs", utt_id + ".wav")
+                entries.append((utt_id, wav, text))
+        return entries
+
+    if fmt == "vctk":
+        entries = []
+        txt_root = os.path.join(corpus_dir, "txt")
+        for spk in sorted(os.listdir(txt_root)):
+            spk_dir = os.path.join(txt_root, spk)
+            if not os.path.isdir(spk_dir):
                 continue
-            utt_id = parts[0]
-            text = parts[2] if len(parts) > 2 and parts[2] else parts[1]
-            wav = os.path.join(corpus_dir, "wavs", utt_id + ".wav")
-            entries.append((utt_id, wav, text))
-    return entries
+            for name in sorted(os.listdir(spk_dir)):
+                if not name.endswith(".txt"):
+                    continue
+                utt_id = name[:-4]
+                with open(os.path.join(spk_dir, name), encoding="utf-8") as f:
+                    text = f.read().strip()
+                wav = os.path.join(corpus_dir, "wav48", spk, utt_id + ".wav")
+                if text and os.path.exists(wav):
+                    entries.append((utt_id, wav, text))
+        return entries
+
+    if fmt in ("arctic", "blizzard"):
+        import re
+
+        if fmt == "arctic":
+            meta = os.path.join(corpus_dir, "etc", "txt.done.data")
+            wav_dir = os.path.join(corpus_dir, "wav")
+        else:
+            candidates = ["prompts.gui", "prompts.data",
+                          os.path.join("etc", "prompts.data")]
+            meta = next((os.path.join(corpus_dir, c) for c in candidates
+                         if os.path.exists(os.path.join(corpus_dir, c))), None)
+            if meta is None:
+                raise FileNotFoundError(f"no prompts file found in {corpus_dir}")
+            wav_dir = os.path.join(corpus_dir, "wavn")
+        entries = []
+        pat = re.compile(r'\(\s*(\S+)\s+"(.*)"\s*\)')
+        with open(meta, encoding="utf-8", errors="replace") as f:
+            for line in f:
+                m = pat.search(line)
+                if not m:
+                    continue
+                utt_id, text = m.group(1), m.group(2)
+                wav = os.path.join(wav_dir, utt_id + ".wav")
+                if os.path.exists(wav):
+                    entries.append((utt_id, wav, text))
+        return entries
+
+    raise ValueError(f"unknown corpus format: {fmt}")
 
 
 def _features_batched(wavs: list[np.ndarray], cfg: AudioConfig, chunk: int = 16):
@@ -98,10 +155,11 @@ def _features_batched(wavs: list[np.ndarray], cfg: AudioConfig, chunk: int = 16)
 
 
 def preprocess(corpus_dir: str, data_dir: str, cfg: AudioConfig,
-               limit: int | None = None, chunk: int = 16) -> dict:
+               limit: int | None = None, chunk: int = 16,
+               fmt: str = "ljspeech") -> dict:
     """Run the full offline prep (reference: python preprocess.py <dataset>)."""
     os.makedirs(data_dir, exist_ok=True)
-    entries = read_metadata(corpus_dir)
+    entries = read_metadata(corpus_dir, fmt)
     if limit:
         entries = entries[:limit]
 

@@ -84,16 +84,29 @@ def train_step(state: TrainState, text, text_len, mel_gt, linear_gt, frame_len,
     return new_state, metrics, alignments
 
 
-def make_train_step(cfg: Config, mesh: Mesh | None = None):
-    """jit train_step with donated state and DP shardings over the mesh."""
+def make_train_step(cfg: Config, mesh: Mesh | None = None,
+                    state_template: TrainState | None = None):
+    """jit train_step with donated state and DP(+TP) shardings over the mesh.
+
+    With model_parallel_size > 1 pass ``state_template`` so the TP sharding
+    rules (parallel/sharding.py) can be applied to the state pytree; without
+    it the state is fully replicated (pure DP).
+    """
     fn = partial(train_step, cfg=cfg)
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(cfg.mesh.data_axis))
+    if state_template is not None and cfg.mesh.model_parallel_size > 1:
+        from tacotron_tpu.parallel.sharding import tree_shardings
+
+        state_sh = tree_shardings(state_template, mesh, cfg.mesh)
+    else:
+        state_sh = jax.tree_util.tree_map(lambda _: repl, state_template) \
+            if state_template is not None else repl
     return jax.jit(
         fn,
         donate_argnums=(0,),
-        in_shardings=(repl, data, data, data, data, data),
-        out_shardings=(repl, repl, data),
+        in_shardings=(state_sh, data, data, data, data, data),
+        out_shardings=(state_sh, repl, data),
     )

@@ -129,3 +129,44 @@ class TestLoader:
         it = iter(dl)
         seen = [next(it) for _ in range(7)]  # > one epoch: stream rewraps
         assert all(b.text.shape[0] == 2 for b in seen)
+
+
+class TestCorpusFormats:
+    def test_vctk_layout(self, tmp_path):
+        import wave as wave_mod
+        root = tmp_path / "vctk"
+        for spk, utts in [("p225", ["p225_001", "p225_002"]), ("p226", ["p226_001"])]:
+            (root / "txt" / spk).mkdir(parents=True)
+            (root / "wav48" / spk).mkdir(parents=True)
+            for u in utts:
+                (root / "txt" / spk / f"{u}.txt").write_text(f"utterance {u}")
+                ljspeech.save_wav(str(root / "wav48" / spk / f"{u}.wav"),
+                                  np.zeros(100, np.float32), 22050)
+        entries = ljspeech.read_metadata(str(root), fmt="vctk")
+        assert len(entries) == 3
+        assert entries[0][2] == "utterance p225_001"
+
+    def test_arctic_layout(self, tmp_path):
+        root = tmp_path / "arctic"
+        (root / "etc").mkdir(parents=True)
+        (root / "wav").mkdir()
+        (root / "etc" / "txt.done.data").write_text(
+            '( arctic_a0001 "Author of the danger trail." )\n'
+            '( arctic_a0002 "Not at this particular case." )\n')
+        for u in ["arctic_a0001", "arctic_a0002"]:
+            ljspeech.save_wav(str(root / "wav" / f"{u}.wav"),
+                              np.zeros(100, np.float32), 22050)
+        entries = ljspeech.read_metadata(str(root), fmt="arctic")
+        assert len(entries) == 2
+        assert entries[0] == ("arctic_a0001",
+                              str(root / "wav" / "arctic_a0001.wav"),
+                              "Author of the danger trail.")
+
+    def test_blizzard_layout(self, tmp_path):
+        root = tmp_path / "nancy"
+        (root / "wavn").mkdir(parents=True)
+        (root / "prompts.data").write_text('( APDC2-001-01 "Hello there." )\n')
+        ljspeech.save_wav(str(root / "wavn" / "APDC2-001-01.wav"),
+                          np.zeros(100, np.float32), 22050)
+        entries = ljspeech.read_metadata(str(root), fmt="blizzard")
+        assert len(entries) == 1 and entries[0][2] == "Hello there."
