@@ -43,6 +43,10 @@ def main():
     p.add_argument("--t-in", type=int, default=128)
     p.add_argument("--t-out", type=int, default=400)
     p.add_argument("--platform", default=None)
+    p.add_argument("--metric", default="train", choices=["train", "synth"],
+                   help="train = frames/s/chip (primary); synth = end-to-end "
+                        "audio-seconds synthesized per second @ GL1000")
+    p.add_argument("--gl-iters", type=int, default=1000)
     args = p.parse_args()
 
     import jax
@@ -62,6 +66,50 @@ def main():
         train=dataclasses.replace(cfg.train, batch_size=args.batch),
     )
     n_chips = len(jax.devices())
+
+    if args.metric == "synth":
+        import time as _t
+
+        from tacotron_tpu.models import Tacotron
+        from tacotron_tpu.dsp import inv_spectrogram
+
+        model = Tacotron(cfg.model, train=False)
+        b, t_in, n_steps = args.batch, args.t_in, args.t_out // cfg.model.r
+        text = jax.random.randint(jax.random.PRNGKey(0), (b, t_in), 1, 60)
+        lens = jnp.full((b,), t_in, jnp.int32)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            text, lens, gt_mel=jnp.zeros((b, 2 * cfg.model.r, cfg.model.n_mels)),
+        )
+
+        @jax.jit
+        def synth(v, text, lens, rng):
+            out = model.apply(v, text, lens, n_steps=n_steps,
+                              rngs={"dropout": rng})
+            return inv_spectrogram(out.linear, cfg.audio, n_iter=args.gl_iters)
+
+        wav = synth(variables, text, lens, jax.random.PRNGKey(3))
+        float(jnp.sum(jnp.abs(wav)))  # force (axon: block_until_ready unreliable)
+        t0 = _t.time()
+        wav = synth(variables, text, lens, jax.random.PRNGKey(4))
+        float(jnp.sum(jnp.abs(wav)))
+        dt = _t.time() - t0
+        audio_s = b * wav.shape[-1] / cfg.audio.sample_rate
+        try:
+            with open("BASELINE.md") as f:
+                m = re.search(r"<!-- ratchet:audio_sec_per_s=([0-9.]+) -->", f.read())
+            ratchet = float(m.group(1)) if m else None
+        except OSError:
+            ratchet = None
+        val = audio_s / dt
+        print(json.dumps({
+            "metric": "synth_audio_sec_per_s",
+            "value": round(val, 2),
+            "unit": "audio-seconds/s",
+            "vs_baseline": round(val / ratchet, 4) if ratchet else 1.0,
+        }))
+        return
+
     mesh = make_mesh(cfg.mesh)
 
     rng = jax.random.PRNGKey(0)

@@ -239,7 +239,9 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
     elif not lowp:
         bt = min(b, 8)
     else:
-        bt = min(b, 16 if collect_alignments else 32)
+        # measured on v5e: bt=16 beats bt=32 (VMEM pressure at 32 outweighs
+        # the halved tile count) — see BASELINE.md kernel notes
+        bt = min(b, 16)
     if b % bt != 0:
         pad = bt - b % bt
         memory = jnp.pad(memory, ((0, pad), (0, 0), (0, 0)))
