@@ -68,6 +68,9 @@ class ModelConfig:
     n_freq: int = 1025
     r: int = 2                        # reduction factor: frames per decoder step
     max_decode_steps: int = 500       # inference: fixed step count, no stop token (paper §3.2)
+    remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
+                                      # (SURVEY.md §7.3 item 5: trades decoder
+                                      # recompute for teacher-forced HBM)
     cross_replica_batchnorm: bool = True  # SURVEY.md §7.3 item 4
     param_dtype: str = "float32"
     compute_dtype: str = "float32"    # bfloat16 on TPU for speed
@@ -96,7 +99,6 @@ class TrainConfig:
     summary_every: int = 100
     max_steps: int = 2_000_000
     seed: int = 0
-    remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
 
 
 @dataclass(frozen=True)

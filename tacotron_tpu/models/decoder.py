@@ -137,8 +137,13 @@ class Decoder(nn.Module):
             frame_axis = 0
             length = None
 
+        cell_cls = DecoderCell
+        if cfg.remat_decoder:
+            # recompute the cell in backward instead of storing per-step
+            # activations (SURVEY.md §7.3 item 5)
+            cell_cls = nn.remat(DecoderCell, prevent_cse=False)
         cell = nn.scan(
-            DecoderCell,
+            cell_cls,
             variable_broadcast="params",
             split_rngs={"params": False, "dropout": True},
             in_axes=(frame_axis, nn.broadcast, nn.broadcast, nn.broadcast),

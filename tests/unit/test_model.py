@@ -134,3 +134,33 @@ class TestParamCount:
         )
         n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(variables["params"]))
         assert 4e6 < n < 15e6, f"param count {n/1e6:.2f}M outside expected range"
+
+
+class TestRemat:
+    def test_remat_decoder_same_loss_and_grads(self):
+        """remat changes memory, not math."""
+        import dataclasses
+        text, lengths, mel = _batch()
+        cfgs = [dataclasses.replace(CFG, remat_decoder=f) for f in (False, True)]
+        outs = []
+        for c in cfgs:
+            model = Tacotron(c, train=True)
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                text, lengths, gt_mel=mel,
+            )
+
+            def loss_fn(params):
+                out, _ = model.apply(
+                    {"params": params, "batch_stats": variables["batch_stats"]},
+                    text, lengths, gt_mel=mel,
+                    rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"],
+                )
+                return jnp.mean(jnp.abs(out.mel - mel))
+
+            l, g = jax.value_and_grad(loss_fn)(variables["params"])
+            outs.append((float(l), g))
+        assert outs[0][0] == pytest.approx(outs[1][0], rel=1e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                        jax.tree_util.tree_leaves(outs[1][1])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
