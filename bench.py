@@ -37,9 +37,9 @@ def read_ratchet() -> float | None:
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=20)
+    p.add_argument("--steps", type=int, default=15)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--batch", type=int, default=256)  # swept on v5e: 256+remat peaks
     p.add_argument("--t-in", type=int, default=128)
     p.add_argument("--t-out", type=int, default=400)
     p.add_argument("--platform", default=None)
@@ -47,6 +47,9 @@ def main():
                    help="train = frames/s/chip (primary); synth = end-to-end "
                         "audio-seconds synthesized per second @ GL1000")
     p.add_argument("--gl-iters", type=int, default=1000)
+    p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True,
+                   help="remat the decoder scan (fits bigger batches in HBM; "
+                        "measured optimal with batch 256 on v5e)")
     args = p.parse_args()
 
     import jax
@@ -62,7 +65,8 @@ def main():
     cfg = get_config("full_1chip")
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, vocab_size=64),
+        model=dataclasses.replace(cfg.model, vocab_size=64,
+                                  remat_decoder=args.remat),
         train=dataclasses.replace(cfg.train, batch_size=args.batch),
     )
     n_chips = len(jax.devices())
