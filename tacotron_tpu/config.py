@@ -71,9 +71,9 @@ class ModelConfig:
     remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
                                       # (SURVEY.md §7.3 item 5: trades decoder
                                       # recompute for teacher-forced HBM)
-    cross_replica_batchnorm: bool = True  # SURVEY.md §7.3 item 4
+    # Batch-norm moments are ALWAYS global-batch under jit+GSPMD (the sharded
+    # batch mean is a global mean), i.e. cross-replica — SURVEY.md §7.3 item 4.
     param_dtype: str = "float32"
-    compute_dtype: str = "float32"    # bfloat16 on TPU for speed
 
     @property
     def memory_dim(self) -> int:

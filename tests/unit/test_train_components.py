@@ -90,3 +90,17 @@ class TestCheckpoint:
     def test_missing_dir_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             checkpoint.restore(str(tmp_path / "nope"), self._tree())
+
+
+class TestConfig:
+    def test_json_roundtrip(self):
+        import dataclasses
+        from tacotron_tpu.config import Config, get_config
+        cfg = get_config("tiny_cpu")
+        cfg2 = Config.from_json(cfg.to_json())
+        assert cfg2 == cfg
+
+    def test_presets_exist(self):
+        from tacotron_tpu.config import PRESETS
+        assert set(PRESETS) == {"tiny_cpu", "cbhg_parity", "full_1chip",
+                                "synth_gl1000", "pod_dp"}
