@@ -47,6 +47,8 @@ def main():
                    help="train = frames/s/chip (primary); synth = end-to-end "
                         "audio-seconds synthesized per second @ GL1000")
     p.add_argument("--gl-iters", type=int, default=1000)
+    p.add_argument("--gl-momentum", type=float, default=0.0,
+                   help="Fast Griffin-Lim momentum (0 = vanilla parity mode)")
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True,
                    help="remat the decoder scan (fits bigger batches in HBM; "
                         "measured optimal with batch 256 on v5e)")
@@ -65,6 +67,7 @@ def main():
     cfg = get_config("full_1chip")
     cfg = dataclasses.replace(
         cfg,
+        audio=dataclasses.replace(cfg.audio, gl_momentum=args.gl_momentum),
         model=dataclasses.replace(cfg.model, vocab_size=64,
                                   remat_decoder=args.remat),
         train=dataclasses.replace(cfg.train, batch_size=args.batch),

@@ -98,5 +98,6 @@ def inv_spectrogram(
     else:  # matmul-DFT on the MXU (see dsp/dft.py)
         from tacotron_tpu.dsp.dft import griffin_lim_mm
 
-        y = griffin_lim_mm(mag, lowp=(cfg.gl_backend == "mm"), **kw)
+        y = griffin_lim_mm(mag, lowp=(cfg.gl_backend == "mm"),
+                           momentum=cfg.gl_momentum, **kw)
     return inv_preemphasis(y, cfg.preemphasis)

@@ -129,24 +129,41 @@ def istft_mm(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_fft", "hop_length", "win_length", "n_iter", "length",
-                     "lowp"),
+                     "lowp", "momentum"),
 )
 def griffin_lim_mm(magnitude: jax.Array, *, n_fft: int, hop_length: int,
                    win_length: int, n_iter: int = 60,
-                   length: int | None = None, lowp: bool = True) -> jax.Array:
+                   length: int | None = None, lowp: bool = True,
+                   momentum: float = 0.0) -> jax.Array:
     """Griffin-Lim over the matmul transforms: every iteration is two MXU
     matmuls + OLA, no XLA FFT anywhere. bf16 single-pass matmuls by default
     (GL re-imposes the target magnitude every iteration, so transform noise
-    does not accumulate; verified against the f32 path in tests)."""
+    does not accumulate; verified against the f32 path in tests).
+
+    ``momentum``: Fast Griffin-Lim (Perraudin et al. 2013) over-relaxation —
+    the projection input is extrapolated by beta*(c_t - c_{t-1}). beta ~0.99
+    reaches vanilla-GL-at-1000-iters quality in ~100 iterations (verified in
+    tests + BASELINE.md); 0.0 is exact vanilla GL for the parity config.
+    """
     mag = magnitude.astype(jnp.float32)
     re, im = mag, jnp.zeros_like(mag)
+    beta = float(momentum)
 
-    def body(_, carry):
-        re, im = carry
+    def project(re, im):
         y = istft_mm(re, im, n_fft, hop_length, win_length, lowp=lowp)
         re2, im2 = stft_mm(y, n_fft, hop_length, win_length, lowp=lowp)
         norm = jnp.maximum(jnp.sqrt(re2 * re2 + im2 * im2), 1e-8)
         return mag * re2 / norm, mag * im2 / norm
 
-    re, im = jax.lax.fori_loop(0, n_iter, body, (re, im))
+    if beta == 0.0:
+        re, im = jax.lax.fori_loop(
+            0, n_iter, lambda _, c: project(*c), (re, im))
+    else:
+        def body(_, carry):
+            re, im, pre, pim = carry
+            cre, cim = project(re + beta * (re - pre), im + beta * (im - pim))
+            return cre, cim, re, im
+
+        re, im, _, _ = jax.lax.fori_loop(
+            0, n_iter, body, (re, im, re, im))
     return istft_mm(re, im, n_fft, hop_length, win_length, length=length)

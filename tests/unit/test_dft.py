@@ -59,3 +59,27 @@ def test_griffin_lim_mm_converges_like_fft_gl():
     e_mm = err(griffin_lim_mm(mag, **SMALL, n_iter=30))
     e_fft = err(griffin_lim(mag, **SMALL, n_iter=30))
     assert e_mm < e_fft * 1.2 + 0.02, f"mm GL {e_mm:.3f} vs fft GL {e_fft:.3f}"
+
+
+def test_fast_gl_momentum_converges_faster():
+    """FGLA at 30 iters should beat vanilla at 30 and approach vanilla at ~100."""
+    y = jnp.asarray(_signal(n=4000))
+    mag = jnp.abs(stft(y, **SMALL))
+
+    def err(rec):
+        m2 = jnp.abs(stft(rec, **SMALL))
+        return float(jnp.linalg.norm(m2 - mag) / jnp.linalg.norm(mag))
+
+    e_vanilla30 = err(griffin_lim_mm(mag, **SMALL, n_iter=30, momentum=0.0))
+    e_fast30 = err(griffin_lim_mm(mag, **SMALL, n_iter=30, momentum=0.99))
+    e_vanilla100 = err(griffin_lim_mm(mag, **SMALL, n_iter=100, momentum=0.0))
+    assert e_fast30 < e_vanilla30, (e_fast30, e_vanilla30)
+    assert e_fast30 < e_vanilla100 * 1.5, (e_fast30, e_vanilla100)
+
+
+def test_momentum_zero_is_vanilla():
+    y = jnp.asarray(_signal(n=3000))
+    mag = jnp.abs(stft(y, **SMALL))
+    a = griffin_lim_mm(mag, **SMALL, n_iter=10, momentum=0.0)
+    b = griffin_lim_mm(mag, **SMALL, n_iter=10)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
