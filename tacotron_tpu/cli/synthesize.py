@@ -23,6 +23,8 @@ def main(argv=None):
     p.add_argument("--gl-iters", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None)
+    p.add_argument("--fused", action="store_true",
+                   help="decode through the fused Pallas decode-loop kernel")
     args = p.parse_args(argv)
 
     import jax
@@ -46,7 +48,8 @@ def main(argv=None):
     state, step = checkpoint.restore(os.path.join(args.run_dir, "ckpt"), template)
     print(f"restored checkpoint at step {step}")
 
-    synth = Synthesizer(cfg, state.params, state.batch_stats, vocab)
+    synth = Synthesizer(cfg, state.params, state.batch_stats, vocab,
+                        fused=args.fused)
     t0 = time.time()
     out = synth(args.text, n_steps=args.steps, gl_iters=args.gl_iters,
                 seed=args.seed)

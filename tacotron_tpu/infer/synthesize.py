@@ -27,20 +27,63 @@ from tacotron_tpu.models import Tacotron
 
 
 class Synthesizer:
-    def __init__(self, cfg: Config, params, batch_stats, vocab: Vocab):
+    """``fused=True`` decodes through the Pallas fused decode-loop kernel
+    (ops/pallas/decode_loop; VMEM-resident state/weights) instead of the XLA
+    scan; both paths share the same params and produce equivalent output."""
+
+    def __init__(self, cfg: Config, params, batch_stats, vocab: Vocab,
+                 fused: bool = False):
         self.cfg = cfg
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.vocab = vocab
         self.model = Tacotron(cfg.model, train=False)
+        self.fused = fused
 
-        @functools.partial(jax.jit, static_argnames=("n_steps", "gl_iters"))
-        def _synth(variables, text, text_len, rng, n_steps, gl_iters):
-            out = self.model.apply(
-                variables, text, text_len, n_steps=n_steps,
-                rngs={"dropout": rng},
+        if not fused:
+            @functools.partial(jax.jit, static_argnames=("n_steps", "gl_iters"))
+            def _synth(variables, text, text_len, rng, n_steps, gl_iters):
+                out = self.model.apply(
+                    variables, text, text_len, n_steps=n_steps,
+                    rngs={"dropout": rng},
+                )
+                wav = inv_spectrogram(out.linear, cfg.audio, n_iter=gl_iters)
+                return out.mel, out.linear, out.alignments, wav
+        else:
+            from tacotron_tpu.models.encoder import Encoder
+            from tacotron_tpu.models.postnet import PostNet
+            from tacotron_tpu.ops.pallas.decode_loop import (
+                decode_loop, pack_decoder_weights,
             )
-            wav = inv_spectrogram(out.linear, cfg.audio, n_iter=gl_iters)
-            return out.mel, out.linear, out.alignments, wav
+
+            encoder = Encoder(cfg.model, train=False)
+            postnet = PostNet(cfg.model, train=False)
+            # CPU: run the kernel interpreted; its PRNG has no CPU lowering,
+            # so prenet dropout is disabled there (TPU keeps paper behavior).
+            interpret = jax.default_backend() == "cpu"
+            use_dropout = cfg.model.prenet_dropout > 0 and not interpret
+
+            @functools.partial(jax.jit, static_argnames=("n_steps", "gl_iters"))
+            def _synth(variables, text, text_len, rng, n_steps, gl_iters):
+                v, bs = variables["params"], variables["batch_stats"]
+                memory = encoder.apply(
+                    {"params": v["encoder"], "batch_stats": bs["encoder"]},
+                    text, text_len, rngs={"dropout": rng},
+                )
+                keys = memory @ v["memory_proj"]["kernel"]
+                mask = jnp.arange(text.shape[1])[None, :] < text_len[:, None]
+                w = pack_decoder_weights(v["decoder"]["cell"])
+                seed = jax.random.randint(rng, (), 0, 2**31 - 1)
+                frames, aligns = decode_loop(
+                    memory, keys, mask, w, n_steps=n_steps, seed=seed,
+                    dropout=use_dropout, interpret=interpret,
+                )
+                mel = frames.reshape(text.shape[0], n_steps * cfg.model.r,
+                                     cfg.model.n_mels)
+                linear = postnet.apply(
+                    {"params": v["postnet"], "batch_stats": bs["postnet"]}, mel
+                )
+                wav = inv_spectrogram(linear, cfg.audio, n_iter=gl_iters)
+                return mel, linear, aligns, wav
 
         self._synth = _synth
 

@@ -13,7 +13,7 @@ GRUs, and the r-frame output projection — with zero HBM traffic for state.
 Inference-only (no VJP): training keeps the XLA scan, which autodiffs.
 
 Weight layout contract matches models/decoder.DecoderCell; pack_decoder_weights
-extracts and (optionally) pads arrays from the flax param tree.
+extracts the arrays from the flax param tree.
 """
 
 from __future__ import annotations
@@ -48,7 +48,7 @@ class DecoderWeights(NamedTuple):
     f_w: jax.Array; f_b: jax.Array
 
 
-def pack_decoder_weights(params, memory_proj_kernel=None) -> DecoderWeights:
+def pack_decoder_weights(params) -> DecoderWeights:
     """Flax param tree (decoder/cell/...) -> DecoderWeights.
 
     ``params`` is variables["params"]["decoder"]["cell"]. GRU weights follow
