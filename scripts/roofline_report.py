@@ -54,8 +54,16 @@ def main():
     t_gl = timed(lambda: griffin_lim_mm(mag, **kw, n_iter=n_iter), n=2)
     per_iter = t_gl / n_iter
     fl = gl_iteration_flops(B, frames, kw["n_fft"])
-    # bytes: frames matrix r/w both directions (bf16 in, f32 out) + spec
-    byts = B * frames * (2048 * 2 + 2050 * 4) * 2
+    # bytes: ALL intermediate arrays the iteration materialises, not just the
+    # matmul operands — the loop is HBM-bandwidth-bound in practice (spec
+    # carry r/w, frames write+read both directions, projection read+write,
+    # all bf16) + both DFT matrices read once per iteration
+    frame_bytes = B * frames * 2048 * 2
+    spec_bytes = B * frames * 2304 * 2
+    byts = (2 * spec_bytes              # carry read + write
+            + 4 * frame_bytes           # frames w+r, analysis frames w+r
+            + 2 * spec_bytes            # projection out w + r
+            + 2 * (2048 * 2304 * 2))    # fwd+bwd matrices
     results.append(KernelRoofline("griffin_lim_iteration(mm,bf16)", fl, byts,
                                   per_iter).report())
 
