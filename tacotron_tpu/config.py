@@ -202,8 +202,15 @@ PRESETS: dict[str, Config] = {
     "full_1chip": Config(name="full_1chip"),
     # BASELINE.json:10 — autoregressive inference + 1000-iter Griffin-Lim
     "synth_gl1000": Config(name="synth_gl1000"),
-    # BASELINE.json:11 — multi-host DP training
-    "pod_dp": Config(name="pod_dp"),
+    # BASELINE.json:11 — multi-host DP training: per-chip batch 32 is the
+    # v5e sweet spot at T_out~400 with remat (BASELINE.md sweep); global batch
+    # here assumes an 8-chip host — the train CLI scales batches by
+    # process_count, and GSPMD shards over however many chips the mesh holds
+    "pod_dp": Config(
+        name="pod_dp",
+        model=ModelConfig(remat_decoder=True),
+        train=TrainConfig(batch_size=256, summary_every=50),
+    ),
 }
 
 

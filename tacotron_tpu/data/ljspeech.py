@@ -196,6 +196,34 @@ def preprocess(corpus_dir: str, data_dir: str, cfg: AudioConfig,
             "total_frames": frame_off}
 
 
+def generate_char_tone_corpus(corpus_dir: str, n: int = 8,
+                              sample_rate: int = 22050, seed: int = 0,
+                              char_sec: float = 0.06, text_len: int = 12) -> None:
+    """Synthetic corpus where audio IS the text: each character renders as a
+    fixed-duration tone whose pitch encodes the character. Attention has a
+    ground-truth monotonic alignment to learn — used by the overfit-alignment
+    health check (SURVEY.md §4.3)."""
+    rs = np.random.default_rng(seed)
+    os.makedirs(os.path.join(corpus_dir, "wavs"), exist_ok=True)
+    alphabet = "abcdefghij"
+    lines = []
+    for i in range(n):
+        utt_id = f"CT-{i:04d}"
+        chars = rs.choice(list(alphabet), size=text_len)
+        text = "".join(chars)
+        segs = []
+        for c in chars:
+            f0 = 180.0 + 55.0 * (ord(c) - ord("a"))
+            t = np.arange(int(char_sec * sample_rate)) / sample_rate
+            env = np.minimum(1.0, np.minimum(t / 0.008, (char_sec - t) / 0.008).clip(0))
+            segs.append(0.6 * np.sin(2 * np.pi * f0 * t) * env)
+        save_wav(os.path.join(corpus_dir, "wavs", utt_id + ".wav"),
+                 np.concatenate(segs).astype(np.float32), sample_rate)
+        lines.append(f"{utt_id}|{text}|{text}")
+    with open(os.path.join(corpus_dir, "metadata.csv"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
 def generate_synthetic_corpus(corpus_dir: str, n: int = 8, sample_rate: int = 22050,
                               seed: int = 0, min_sec: float = 0.4,
                               max_sec: float = 1.2) -> None:

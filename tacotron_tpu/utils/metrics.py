@@ -66,9 +66,21 @@ class SummaryWriter:
             self._w.add_image(tag, img, step, dataformats="HWC")
 
     def audio(self, tag: str, wav: np.ndarray, sample_rate: int, step: int):
-        if self._w:
+        if not self._w:
+            return
+        try:
             self._w.add_audio(tag, np.clip(wav, -1, 1)[None, :], step,
                               sample_rate=sample_rate)
+        except (ImportError, ModuleNotFoundError):
+            # tensorboardX's audio encoding needs soundfile, absent in this
+            # image — keep the domain diagnostic as a wav next to the events
+            from tacotron_tpu.data.ljspeech import save_wav
+
+            d = os.path.join(self._w.logdir, "audio")
+            os.makedirs(d, exist_ok=True)
+            path = os.path.join(d, f"{tag.replace('/', '_')}_{step}.wav")
+            save_wav(path, np.asarray(wav), sample_rate)
+            self._w.add_text(tag, f"audio written to {path}", step)
 
     def flush(self):
         if self._w:

@@ -138,3 +138,45 @@ def test_train_step_on_8_device_mesh(cfg, data_dir):
         state, metrics, _ = step_fn(state, *batch_arrays)
     assert np.isfinite(float(metrics["total_loss"]))
     assert int(state.step) == 2
+
+
+def test_overfit_one_batch_alignment_concentrates(cfg, tmp_path):
+    """SURVEY.md §4.3: overfit-one-batch sanity on a corpus where audio IS
+    the text (per-character tones), so a ground-truth monotonic alignment
+    exists. Gates on overfit + attention health; entropy *descent* is tracked
+    by scripts/alignment_probe.py (alignment emerges over ~1e3+ steps)."""
+    import dataclasses
+
+    corpus = str(tmp_path / "corpus")
+    data = str(tmp_path / "data")
+    ljspeech.generate_char_tone_corpus(corpus, n=4, text_len=10)
+    ljspeech.preprocess(corpus, data, ACFG, chunk=4)
+    ds = Dataset(data)
+    c = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model,
+                                       vocab_size=max(32, len(ds.vocab))))
+    dl = DataLoader(ds, batch_size=4, num_buckets=1, r=c.model.r, seed=5)
+    b = next(iter(dl))
+    arrays = (jnp.asarray(b.text), jnp.asarray(b.text_len),
+              jnp.asarray(b.mel), jnp.asarray(b.linear),
+              jnp.asarray(b.frame_len))
+    state = create_train_state(c, jax.random.PRNGKey(3))
+    step_fn = make_train_step(c)
+
+    def mean_entropy(alignments):
+        a = np.clip(np.asarray(alignments), 1e-8, 1.0)
+        return float(-(a * np.log(a)).sum(-1).mean())
+
+    state, m0, align0 = step_fn(state, *arrays)  # state is donated: keep it
+    e0 = mean_entropy(align0)
+    l0 = float(m0["total_loss"])
+    for _ in range(150):
+        state, metrics, aligns = step_fn(state, *arrays)
+    e1 = mean_entropy(aligns)
+    l1 = float(metrics["total_loss"])
+    # Overfitting must work and attention must stay healthy (not diverge to
+    # higher entropy). Full alignment emergence takes thousands of steps even
+    # on toy data — tracked by scripts/alignment_probe.py, not gated here.
+    assert np.isfinite(l1)
+    assert l1 < l0 * 0.5, f"failed to overfit one batch: {l0:.4f} -> {l1:.4f}"
+    assert e1 <= e0 + 0.05, f"attention entropy increased: {e0:.3f} -> {e1:.3f}"
