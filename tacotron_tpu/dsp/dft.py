@@ -8,11 +8,13 @@ so framing -> windowing -> transform is ONE matmul. At Griffin-Lim's 1000
 iterations (BASELINE.json:10) this is the vocoder's inner loop.
 
 The synthesis direction folds the window and 1/N normalisation in likewise;
-overlap-add reuses the scatter-add from stft.py.
+overlap-add reuses the shifted-slice fold from stft.py.
 
-Numerics: matrices are kept in float32 (bf16 matrices cost ~0.4% relative
-error per transform; acceptable for GL but f32 is already fast enough since
-the matmul is HBM-light). Verified against jnp.fft in tests to 1e-3.
+Numerics: the public stft_mm/istft_mm default to f32 (verified against
+jnp.fft in tests to 1e-3) with a ``lowp`` bf16 option; the Griffin-Lim loop
+defaults to bf16 operands AND a bf16 spectral carry — the loop is
+HBM-bandwidth-bound, GL re-imposes the f32 target magnitude every iteration,
+and the measured magnitude error is unchanged (tests + BASELINE.md).
 """
 
 from __future__ import annotations
