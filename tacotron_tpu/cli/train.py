@@ -137,8 +137,9 @@ def main(argv=None):
 
             if step % cfg.train.checkpoint_every == 0:
                 multihost.barrier("pre-ckpt")
-                if multihost.is_primary():
-                    checkpoint.save(ckpt_dir, step, state)
+                # collective: every process participates in the shard gather;
+                # only process 0 writes files (checkpoint.save gates itself)
+                checkpoint.save(ckpt_dir, step, state)
                 multihost.barrier("post-ckpt")
 
             if args.eval_every and step % args.eval_every == 0 \
@@ -153,8 +154,7 @@ def main(argv=None):
                 writer.alignment("eval/alignment", out["alignments"][0], step)
                 writer.flush()
 
-    if multihost.is_primary():
-        checkpoint.save(ckpt_dir, step, state)
+    checkpoint.save(ckpt_dir, step, state)
     writer.close()
     print(json.dumps({"done": True, "step": step}))
 

@@ -34,9 +34,11 @@ class AudioConfig:
     min_level_db: float = -100.0
     griffin_lim_iters: int = 1000     # reference runs ~1000 iterations (BASELINE.json:10)
     griffin_lim_power: float = 1.5    # magnitude raised to 1.5 before inversion (paper §3.3)
-    # GL transform backend: "mm" = matmul-DFT on the MXU (bf16, fast path),
-    # "mm_f32" = matmul-DFT in f32, "fft" = jnp.fft (XLA FFT; slow on TPU)
-    gl_backend: str = "mm"
+    # GL transform backend: "pallas" = fused VMEM-resident whole-loop kernel
+    # (dsp/pallas_gl.py, fastest on TPU; falls back to "mm" on CPU),
+    # "mm" = matmul-DFT on the MXU (bf16), "mm_f32" = matmul-DFT in f32,
+    # "fft" = jnp.fft (XLA FFT; slow on TPU)
+    gl_backend: str = "pallas"
     # Fast Griffin-Lim momentum (Perraudin 2013); 0.0 = vanilla GL (parity
     # mode, matches the reference's plain 1000-iter loop). ~0.99 reaches
     # vanilla@1000 quality in ~100 iterations.

@@ -128,23 +128,34 @@ def read_metadata(corpus_dir: str, fmt: str = "ljspeech") -> list[tuple[str, str
 
 
 def _features_batched(wavs: list[np.ndarray], cfg: AudioConfig, chunk: int = 16):
-    """Compute (mel, linear, n_frames) per wav, batched+padded per chunk."""
+    """Compute (mel, linear, n_frames) per wav, batched+padded per chunk.
+
+    Pre-emphasis and the centre reflect padding are applied PER UTTERANCE on
+    the host before batching (then the device STFT runs center=False), so the
+    reflected tail frames mirror the utterance's own samples — batch
+    zero-padding never bleeds into features (feature values are independent
+    of chunk grouping, matching per-utterance librosa extraction).
+    """
     extract = jax.jit(
-        lambda y: (melspectrogram(y, cfg), spectrogram(y, cfg)),
-        static_argnums=(),
-    )
+        lambda y: (melspectrogram(y, cfg, preemph=False, center=False),
+                   spectrogram(y, cfg, preemph=False, center=False)))
+    pad = cfg.n_fft // 2
     out = []
     i = 0
     while i < len(wavs):
         group = wavs[i : i + chunk]
-        max_len = max(len(w) for w in group)
+        prepped = []
+        for w in group:
+            pe = np.concatenate([w[:1], w[1:] - cfg.preemphasis * w[:-1]])
+            prepped.append(np.pad(pe, pad, mode="reflect"))
+        max_len = max(len(p) for p in prepped)
         # one compiled shape per (chunk, max_len) pair; quantise max_len to
         # hop*64 to bound recompiles
         q = cfg.hop_length * 64
         max_len = ((max_len + q - 1) // q) * q
         padded = np.zeros((len(group), max_len), np.float32)
-        for j, w in enumerate(group):
-            padded[j, : len(w)] = w
+        for j, p in enumerate(prepped):
+            padded[j, : len(p)] = p
         mel, lin = extract(jnp.asarray(padded))
         mel, lin = np.asarray(mel), np.asarray(lin)
         for j, w in enumerate(group):

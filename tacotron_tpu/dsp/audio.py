@@ -58,15 +58,29 @@ def denormalize(s: jax.Array, cfg: AudioConfig) -> jax.Array:
     return jnp.clip(s, 0.0, 1.0) * -cfg.min_level_db + cfg.min_level_db
 
 
-def spectrogram(y: jax.Array, cfg: AudioConfig) -> jax.Array:
-    """Waveform (..., T) -> normalised linear log-spectrogram (..., frames, n_freq)."""
-    mag = stft_magnitude(preemphasis(y, cfg.preemphasis), cfg.n_fft, cfg.hop_length, cfg.win_length)
+def spectrogram(y: jax.Array, cfg: AudioConfig, *, preemph: bool = True,
+                center: bool = True) -> jax.Array:
+    """Waveform (..., T) -> normalised linear log-spectrogram (..., frames, n_freq).
+
+    ``preemph=False, center=False`` is the batched-preprocess path
+    (data/ljspeech.py): pre-emphasis and the centre reflect padding are then
+    applied per utterance by the caller, so batch zero-padding never leaks
+    into the reflected tail frames.
+    """
+    if preemph:
+        y = preemphasis(y, cfg.preemphasis)
+    mag = stft_magnitude(y, cfg.n_fft, cfg.hop_length, cfg.win_length,
+                         center=center)
     return normalize(amp_to_db(mag) - cfg.ref_level_db, cfg)
 
 
-def melspectrogram(y: jax.Array, cfg: AudioConfig) -> jax.Array:
+def melspectrogram(y: jax.Array, cfg: AudioConfig, *, preemph: bool = True,
+                   center: bool = True) -> jax.Array:
     """Waveform (..., T) -> normalised mel log-spectrogram (..., frames, n_mels)."""
-    mag = stft_magnitude(preemphasis(y, cfg.preemphasis), cfg.n_fft, cfg.hop_length, cfg.win_length)
+    if preemph:
+        y = preemphasis(y, cfg.preemphasis)
+    mag = stft_magnitude(y, cfg.n_fft, cfg.hop_length, cfg.win_length,
+                         center=center)
     mel = jnp.einsum(
         "...tf,mf->...tm",
         mag,
@@ -93,8 +107,17 @@ def inv_spectrogram(
         n_iter=cfg.griffin_lim_iters if n_iter is None else n_iter,
         length=length,
     )
-    if cfg.gl_backend == "fft":
+    backend = cfg.gl_backend
+    if backend == "pallas" and jax.default_backend() == "cpu":
+        # interpret-mode Pallas is far too slow for a real GL loop; the mm
+        # path is numerically equivalent (tests/unit/test_pallas_gl.py)
+        backend = "mm"
+    if backend == "fft":
         y = griffin_lim(mag, **kw)
+    elif backend == "pallas":  # fused VMEM-resident kernel (dsp/pallas_gl.py)
+        from tacotron_tpu.dsp.pallas_gl import griffin_lim_pallas
+
+        y = griffin_lim_pallas(mag, momentum=cfg.gl_momentum, **kw)
     else:  # matmul-DFT on the MXU (see dsp/dft.py)
         from tacotron_tpu.dsp.dft import griffin_lim_mm
 

@@ -38,16 +38,22 @@ def num_frames(n_samples: int, hop_length: int) -> int:
     return n_samples // hop_length + 1
 
 
-def frame_signal(y: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
-    """(..., T) -> (..., frames, n_fft) overlapping frames, centre reflect-padded.
+def frame_signal(y: jax.Array, n_fft: int, hop_length: int,
+                 center: bool = True) -> jax.Array:
+    """(..., T) -> (..., frames, n_fft) overlapping frames.
+
+    ``center=True`` reflect-pads by n_fft//2 first (librosa center
+    semantics); ``center=False`` frames the signal as-is (callers that
+    pre-padded per utterance, e.g. data/ljspeech.py batched extraction).
 
     Framing is built from hop-sized blocks with m = ceil(n_fft/hop) static
     shifted slices (the exact adjoint of overlap_add) instead of a fancy-index
     gather — gathers serialize on TPU and dominated Griffin-Lim profiles.
     """
-    pad = n_fft // 2
-    pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
-    y = jnp.pad(y, pad_width, mode="reflect")
+    if center:
+        pad = n_fft // 2
+        pad_width = [(0, 0)] * (y.ndim - 1) + [(pad, pad)]
+        y = jnp.pad(y, pad_width, mode="reflect")
     n = y.shape[-1]
     f = (n - n_fft) // hop_length + 1
     m = -(-n_fft // hop_length)
@@ -59,19 +65,23 @@ def frame_signal(y: jax.Array, n_fft: int, hop_length: int) -> jax.Array:
     return frames[..., :n_fft]
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))
-def stft(y: jax.Array, n_fft: int, hop_length: int, win_length: int) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length",
+                                             "win_length", "center"))
+def stft(y: jax.Array, n_fft: int, hop_length: int, win_length: int,
+         center: bool = True) -> jax.Array:
     """Complex STFT. (..., T) -> (..., frames, n_fft//2 + 1)."""
-    frames = frame_signal(y, n_fft, hop_length)
+    frames = frame_signal(y, n_fft, hop_length, center=center)
     win = _padded_window(win_length, n_fft, frames.dtype)
     return jnp.fft.rfft(frames * win, n=n_fft, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length", "win_length"))
+@functools.partial(jax.jit, static_argnames=("n_fft", "hop_length",
+                                             "win_length", "center"))
 def stft_magnitude(
-    y: jax.Array, n_fft: int, hop_length: int, win_length: int
+    y: jax.Array, n_fft: int, hop_length: int, win_length: int,
+    center: bool = True
 ) -> jax.Array:
-    return jnp.abs(stft(y, n_fft, hop_length, win_length))
+    return jnp.abs(stft(y, n_fft, hop_length, win_length, center=center))
 
 
 def overlap_add(frames_t: jax.Array, hop_length: int) -> jax.Array:

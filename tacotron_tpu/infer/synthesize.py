@@ -75,7 +75,9 @@ class Synthesizer:
                 seed = jax.random.randint(rng, (), 0, 2**31 - 1)
                 frames, aligns = decode_loop(
                     memory, keys, mask, w, n_steps=n_steps, seed=seed,
-                    dropout=use_dropout, interpret=interpret,
+                    dropout=use_dropout,
+                    dropout_rate=cfg.model.prenet_dropout,
+                    interpret=interpret,
                 )
                 mel = frames.reshape(text.shape[0], n_steps * cfg.model.r,
                                      cfg.model.n_mels)

@@ -34,7 +34,9 @@ inline float half_to_float(uint16_t h) {
         ++shift;
       }
       mant &= 0x3ff;
-      bits = sign | ((127 - 15 - shift) << 23) | (mant << 13);
+      // subnormal value is mant * 2^-24; after `shift` normalizing shifts the
+      // implicit leading bit sits at 2^(-15 - shift + 1), i.e. biased 113-shift
+      bits = sign | ((127 - 14 - shift) << 23) | (mant << 13);
     }
   } else if (exp == 0x1f) {
     bits = sign | 0x7f800000 | (mant << 13);  // inf/nan

@@ -3,8 +3,12 @@
 TPU-native rebuild of the reference's ``models/ops.py`` (SURVEY.md §2.1 #4-#7
 [R]). Convolutions use ``lax.conv_general_dilated`` via flax (NWC layout — the
 channel-last layout XLA tiles best onto the MXU); the conv *bank* evaluates all
-K kernel widths as one padded weight tensor where possible (see
-ops/pallas/conv_bank.py for the fused kernel variant).
+K kernel widths as ONE packed padded weight tensor — a single MXU conv instead
+of K kernel launches. That packed-XLA formulation IS the TPU design here:
+XLA fuses the bias+BN+ReLU epilogue into the conv, so there is no extra
+memory traffic for a hand-written kernel to reclaim, and the measured
+0.66 ms / 52 TFLOP/s (K=16 B32xT128; BASELINE.md kernel-efficiency row)
+prices the op at ~6% of a decode-path step.
 """
 
 from __future__ import annotations

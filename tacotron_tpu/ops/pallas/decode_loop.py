@@ -111,7 +111,11 @@ def _gru_step(h, x, wgx, bg, wgh, wcx, bc, wch):
 
 
 def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
-                 collect_aligns: bool):
+                 collect_aligns: bool, dropout_rate: float = 0.5):
+    # threshold compare on uint32 PRNG bits: keep iff bits < keep_prob * 2^32
+    keep_prob = 1.0 - dropout_rate
+    keep_threshold = jnp.uint32(min(int(keep_prob * 2.0**32), 2**32 - 1))
+    keep_scale = 1.0 / keep_prob if keep_prob > 0 else 0.0
     def kernel(seed_ref, memory_ref, keys_ref, maskbias_ref, *refs):
         if collect_aligns:
             *w_refs, frames_ref, align_ref, h_att, h0, h1, ctx, prev = refs
@@ -140,8 +144,8 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
             # prng_random_bits returns int32 — bitcast before the unsigned
             # threshold compare (signed compare keeps everything)
             bits = pltpu.bitcast(pltpu.prng_random_bits(x.shape), jnp.uint32)
-            keep = bits < jnp.uint32(0x80000000)        # p = 0.5
-            return jnp.where(keep, x * 2.0, 0.0)
+            keep = bits < keep_threshold
+            return jnp.where(keep, x * keep_scale, 0.0)
 
         wd = w.p_w0.dtype  # storage dtype (bf16 on the fast path)
 
@@ -206,10 +210,11 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("n_steps", "dropout", "interpret", "collect_alignments",
-                     "lowp", "batch_tile"),
+                     "lowp", "batch_tile", "dropout_rate"),
 )
 def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
                 seed: int | jax.Array = 0, dropout: bool = True,
+                dropout_rate: float = 0.5,
                 interpret: bool = False, collect_alignments: bool = True,
                 lowp: bool = True, batch_tile: int | None = None):
     """Run the fused decode. memory/keys (B,T_in,D); mask (B,T_in) bool or None.
@@ -259,7 +264,8 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
     )
 
     w_list = [x.astype(sdtype) for x in weights]
-    kernel = _make_kernel(n_steps, n_mels, r, dropout, collect_alignments)
+    kernel = _make_kernel(n_steps, n_mels, r, dropout, collect_alignments,
+                          dropout_rate=dropout_rate)
 
     out_shape = [jax.ShapeDtypeStruct((n_steps, bt, r_nm), jnp.float32)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]

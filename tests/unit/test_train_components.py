@@ -91,6 +91,25 @@ class TestCheckpoint:
         with pytest.raises(FileNotFoundError):
             checkpoint.restore(str(tmp_path / "nope"), self._tree())
 
+    def test_shape_mismatch_names_leaf_path(self, tmp_path):
+        """A leaf-count-preserving shape change must fail at restore with the
+        offending pytree path, not at apply time."""
+        d = str(tmp_path / "ckpt")
+        checkpoint.save(d, 1, self._tree())
+        bad = self._tree()
+        bad["params"]["w"] = np.zeros((3, 2), np.float32)  # transposed shape
+        with pytest.raises(ValueError, match=r"\['params'\]\['w'\]"):
+            checkpoint.restore(d, bad)
+
+    def test_treedef_mismatch_raises(self, tmp_path):
+        """Same leaf count, different key names -> treedef check fires."""
+        d = str(tmp_path / "ckpt")
+        checkpoint.save(d, 1, self._tree())
+        bad = self._tree()
+        bad["params"]["renamed"] = bad["params"].pop("w")
+        with pytest.raises(ValueError, match="treedef"):
+            checkpoint.restore(d, bad)
+
 
 class TestConfig:
     def test_json_roundtrip(self):
