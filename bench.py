@@ -60,6 +60,10 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
+    from tacotron_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from tacotron_tpu.config import get_config
     from tacotron_tpu.parallel import make_mesh, shard_batch
     from tacotron_tpu.train.step import create_train_state, make_train_step

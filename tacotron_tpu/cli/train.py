@@ -32,8 +32,18 @@ def main(argv=None):
     p.add_argument("--checkpoint-every", type=int, default=None)
     p.add_argument("--platform", default=None,
                    help="force a jax platform (e.g. cpu) before first use")
+    p.add_argument("--coordinator", default=None,
+                   help="multi-host rendezvous address host:port "
+                        "(jax.distributed.initialize; SURVEY.md §2.4)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total process count for the multi-host run")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id in [0, num-processes)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5.2)")
+    p.add_argument("--debug-sync", action="store_true",
+                   help="per summary interval: cross-host step agreement + "
+                        "input-shard consistency checks (SURVEY.md §5.2)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="every N steps: synthesize --eval-text and write an "
                         "audio + alignment summary (reference behavior, "
@@ -47,14 +57,25 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+
+    # rendezvous BEFORE any backend/device use (single-process: no-op)
+    from tacotron_tpu.parallel import multihost
+
+    multihost.initialize(coordinator_address=args.coordinator,
+                         num_processes=args.num_processes,
+                         process_id=args.process_id)
+
     import jax.numpy as jnp
 
     from tacotron_tpu.config import get_config
     from tacotron_tpu.data.loader import DataLoader, Dataset
-    from tacotron_tpu.parallel import make_mesh, multihost, shard_batch
+    from tacotron_tpu.parallel import make_mesh, shard_batch
     from tacotron_tpu.train import checkpoint
     from tacotron_tpu.train.step import TrainState, create_train_state, make_train_step
     from tacotron_tpu.utils import SummaryWriter
+    from tacotron_tpu.utils.profiling import enable_compilation_cache
+
+    enable_compilation_cache()
 
     cfg = get_config(args.preset)
     ds = Dataset(args.data_dir)
@@ -111,9 +132,14 @@ def main(argv=None):
     t_last = time.time()
     frames_since = 0
     step = start_step
+    eval_synth = None
     with mesh:
         while step < cfg.train.max_steps:
             b = next(it)
+            if args.debug_sync and (step + 1) % cfg.train.summary_every == 0:
+                multihost.assert_same_step(step)
+                multihost.assert_shard_consistency(
+                    (b.text, b.text_len, b.mel, b.linear, b.frame_len))
             arrays = shard_batch(
                 (jnp.asarray(b.text), jnp.asarray(b.text_len), jnp.asarray(b.mel),
                  jnp.asarray(b.linear), jnp.asarray(b.frame_len)),
@@ -146,9 +172,16 @@ def main(argv=None):
                     and multihost.is_primary():
                 from tacotron_tpu.infer import Synthesizer
 
-                synth = Synthesizer(cfg, state.params, state.batch_stats,
-                                    ds.vocab)
-                out = synth([args.eval_text], gl_iters=60)
+                if eval_synth is None:
+                    # built ONCE: the jitted synth graph is reused across
+                    # evals (a fresh Synthesizer per eval re-traced and
+                    # re-compiled the whole decode+GL graph every time)
+                    eval_synth = Synthesizer(cfg, state.params,
+                                             state.batch_stats, ds.vocab)
+                else:
+                    eval_synth.variables = {"params": state.params,
+                                            "batch_stats": state.batch_stats}
+                out = eval_synth([args.eval_text], gl_iters=60)
                 writer.audio("eval/audio", out["wavs"][0],
                              cfg.audio.sample_rate, step)
                 writer.alignment("eval/alignment", out["alignments"][0], step)

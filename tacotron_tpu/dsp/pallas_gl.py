@@ -433,10 +433,14 @@ def _make_gl_call_fused(plan: _GLPlan, batch: int, beta: float, n_iter: int,
             jax.ShapeDtypeStruct((batch, f, s_half), mdtype),
         ),
         scratch_shapes=scratch,
+        # deliberately ONE iteration's flops, not n_iter's: XLA's scheduler
+        # spends compile time proportional to the estimate (measured: true
+        # 1000-iter flops -> 329 s compile, capped -> 22 s) and there is
+        # nothing to overlap around a whole-loop kernel anyway
         cost_estimate=pl.CostEstimate(
-            flops=_flops_iter(plan, batch) * n_iter,
+            flops=_flops_iter(plan, batch),
             bytes_accessed=batch * f * plan.s * 8,
-            transcendentals=batch * f * s_half * n_iter,
+            transcendentals=batch * f * s_half,
         ),
         interpret=interpret,
     )

@@ -54,3 +54,30 @@ def assert_same_step(step: int) -> None:
 
         steps = multihost_utils.process_allgather(np.asarray(step))
         assert int(steps.min()) == int(steps.max()), f"step divergence: {steps}"
+
+
+def assert_shard_consistency(batch_arrays) -> None:
+    """Debug-mode cross-host input-shard check (SURVEY.md §5.2, --debug-sync).
+
+    Two host-side hazards GSPMD cannot catch: (a) hosts pick different bucket
+    shapes for the same step -> shape mismatch/deadlock inside pjit; (b) hosts
+    feed the SAME data (broken per-host sharding) -> silently train on
+    duplicated batches. Gathers (shape fingerprint, content hash) from every
+    process; shapes must agree, content hashes must be pairwise distinct.
+    """
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    leaves = jax.tree_util.tree_leaves(batch_arrays)
+    shape_fp = hashlib.sha256(
+        repr([(np.asarray(a).shape, str(np.asarray(a).dtype)) for a in leaves]
+             ).encode()).digest()[:8]
+    content = bytes.fromhex(batch_hash(batch_arrays))
+    packed = np.frombuffer(shape_fp + content, np.uint8)
+    allg = multihost_utils.process_allgather(packed)          # (P, 16)
+    shapes = {bytes(r[:8]) for r in allg}
+    contents = [bytes(r[8:]) for r in allg]
+    assert len(shapes) == 1, "hosts disagree on batch shapes (bucket divergence)"
+    assert len(set(contents)) == len(contents), (
+        "duplicate batch content across hosts (per-host data sharding broken)")
