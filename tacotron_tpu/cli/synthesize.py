@@ -25,6 +25,13 @@ def main(argv=None):
     p.add_argument("--platform", default=None)
     p.add_argument("--fused", action="store_true",
                    help="decode through the fused Pallas decode-loop kernel")
+    p.add_argument("--early-exit", action="store_true",
+                   help="stop decoding when the whole batch has gone silent "
+                        "(lax.while_loop; SURVEY.md §7.3 item 1 — off for "
+                        "reference parity)")
+    p.add_argument("--trim", action="store_true",
+                   help="write per-utterance silence-trimmed wavs and run "
+                        "Griffin-Lim only on the non-padding prefix")
     args = p.parse_args(argv)
 
     import jax
@@ -42,6 +49,12 @@ def main(argv=None):
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
+    if args.early_exit or args.trim:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, infer=dataclasses.replace(cfg.infer,
+                                           early_exit=args.early_exit,
+                                           trim_before_gl=args.trim))
     vocab = Vocab.load(os.path.join(args.data_dir, "vocab.json"))
 
     template = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -58,12 +71,16 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     for i, wav in enumerate(out["wavs"]):
         path = os.path.join(args.out_dir, f"utt_{i:03d}.wav")
+        if args.trim:
+            wav = wav[: max(int(out["wav_lengths"][i]), cfg.audio.hop_length)]
         save_wav(path, wav, cfg.audio.sample_rate)
     print(json.dumps({
         "n": len(out["wavs"]),
         "audio_seconds": round(out["audio_seconds"], 2),
+        "trimmed_audio_seconds": round(out["trimmed_audio_seconds"], 2),
         "wall_seconds": round(dt, 2),
         "audio_seconds_per_s": round(out["audio_seconds"] / dt, 3),
+        "trimmed_audio_seconds_per_s": round(out["trimmed_audio_seconds"] / dt, 3),
         "out_dir": args.out_dir,
     }))
 

@@ -128,12 +128,36 @@ class DataConfig:
 
 
 @dataclass(frozen=True)
+class InferConfig:
+    """Synthesis-time behavior (SURVEY.md §7.3 item 1).
+
+    The reference decodes a FIXED number of steps (no stop token, paper §3.2)
+    and returns untrimmed audio; early exit is therefore OFF by default for
+    parity. When on, the decode is a ``lax.while_loop`` that stops once every
+    utterance in the batch has emitted ``min_silence_frames`` consecutive
+    frames whose normalized-mel peak is below ``silence_threshold``
+    (infer/early_exit.py). Trimming uses the same heuristic per utterance.
+    """
+
+    early_exit: bool = False
+    silence_threshold: float = 0.05   # normalized mel in [0, 1]; 0 = min_level_db
+    min_silence_frames: int = 12      # ~150 ms at the paper's 12.5 ms hop
+    trim_before_gl: bool = False      # slice linear to the batch max end frame
+                                      # (quantized) before Griffin-Lim — GL is
+                                      # the dominant cost, so decode-then-trim
+                                      # skips GL work on padding
+    gl_length_quantum: int = 64       # frame quantum for the pre-GL slice
+                                      # (bounds the number of compiled GL shapes)
+
+
+@dataclass(frozen=True)
 class Config:
     audio: AudioConfig = field(default_factory=AudioConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
     train: TrainConfig = field(default_factory=TrainConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     data: DataConfig = field(default_factory=DataConfig)
+    infer: InferConfig = field(default_factory=InferConfig)
     name: str = "default"
 
     def replace(self, **kw: Any) -> "Config":
@@ -164,6 +188,7 @@ class Config:
             train=_mk(TrainConfig, raw.get("train", {})),
             mesh=_mk(MeshConfig, raw.get("mesh", {})),
             data=_mk(DataConfig, raw.get("data", {})),
+            infer=_mk(InferConfig, raw.get("infer", {})),
             name=raw.get("name", "default"),
         )
 

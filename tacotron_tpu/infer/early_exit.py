@@ -1,0 +1,130 @@
+"""Early-exit autoregressive decode + silence-based trimming.
+
+SURVEY.md §7.3 item 1: the reference has NO stop token — inference runs a
+fixed max step count (paper §3.2) and wastes decode + Griffin-Lim compute on
+short utterances. This module adds the mitigation the survey names: a
+``lax.while_loop`` decode that stops once EVERY utterance in the batch has
+emitted enough consecutive silent frames (off by default for parity,
+config.InferConfig), plus the per-utterance end-frame detector used for wav
+trimming and for the pre-GL length slice.
+
+The loop body re-implements models/decoder.DecoderCell as a pure function
+over the packed weights from ops/pallas/decode_loop.pack_decoder_weights
+(same math, pinned by an equality test vs the nn.scan path in
+tests/integration/test_synthesizer.py). A flax lifted while_loop would need
+per-iteration rng splitting that nn.while_loop doesn't provide; the packed
+formulation also shares its weight contract with the fused Pallas kernel.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tacotron_tpu.ops.pallas.decode_loop import DecoderWeights, _gru_step
+
+NEG_INF = -1e9
+
+
+def end_frames(mel: np.ndarray, threshold: float = 0.05,
+               min_run: int = 12) -> np.ndarray:
+    """Per-utterance end frame from a normalized mel (B, T, n_mels).
+
+    Returns (B,) int: the first frame index t such that frames
+    [t, t + min_run) ALL have peak value < threshold — i.e. the utterance is
+    over and the decoder is emitting silence — or T if no such run exists.
+    """
+    mel = np.asarray(mel)
+    b, t, _ = mel.shape
+    silent = mel.max(axis=-1) < threshold                      # (B, T)
+    if t < min_run:
+        return np.full((b,), t, np.int64)
+    c = np.concatenate([np.zeros((b, 1), np.int64),
+                        np.cumsum(silent, axis=1)], axis=1)    # (B, T+1)
+    run_all = (c[:, min_run:] - c[:, :-min_run]) == min_run    # (B, T-min_run+1)
+    idx = np.argmax(run_all, axis=1)                           # first True
+    return np.where(run_all.any(axis=1), idx, t)
+
+
+@partial(jax.jit, static_argnames=("n_steps", "r", "n_mels", "dropout_rate",
+                                   "silence_threshold", "min_silence_steps"))
+def decode_while(memory, keys, mask, w: DecoderWeights, rng, *, n_steps: int,
+                 r: int, n_mels: int, dropout_rate: float = 0.0,
+                 silence_threshold: float = 0.05,
+                 min_silence_steps: int = 3):
+    """Feed-previous decode under ``lax.while_loop`` with silence early exit.
+
+    memory (B, T_in, D_mem), keys (B, T_in, attn_dim), mask (B, T_in) bool.
+    Returns (mel (B, n_steps*r, n_mels), alignments (B, n_steps, T_in),
+    steps_done scalar). Frames past the exit step are zero — exactly the
+    "silence" the heuristic detected, so downstream trimming sees a
+    consistent tail. With ``silence_threshold < 0`` the loop never exits
+    early and the output equals the fixed-length scan's (the parity test).
+    """
+    b, t_in, _ = memory.shape
+    ag_dim = w.ag_wgh.shape[0]
+    d_dim = w.d0_wgh.shape[0]
+    mem_dim = memory.shape[-1]
+    scores_bias = jnp.where(mask, 0.0, NEG_INF)                # (B, T_in)
+
+    def body(carry):
+        (t, h_att, h0, h1, context, prev, silent_run, frames_buf, aligns_buf) = carry
+
+        # prenet (dropout active at inference, paper §3.2)
+        x = jnp.maximum(prev @ w.p_w0 + w.p_b0, 0.0)
+        if dropout_rate > 0.0:
+            k0, k1 = jax.random.split(jax.random.fold_in(rng, t))
+            keep = 1.0 - dropout_rate
+            x = x * jax.random.bernoulli(k0, keep, x.shape) / keep
+        x = jnp.maximum(x @ w.p_w1 + w.p_b1, 0.0)
+        if dropout_rate > 0.0:
+            x = x * jax.random.bernoulli(k1, keep, x.shape) / keep
+
+        h_att = _gru_step(h_att, jnp.concatenate([x, context], -1),
+                          w.ag_wgx, w.ag_bg, w.ag_wgh,
+                          w.ag_wcx, w.ag_bc, w.ag_wch)
+        q = h_att @ w.at_wq                                    # (B, attn_dim)
+        scores = jnp.squeeze(jnp.tanh(keys + q[:, None, :]) @ w.at_v, -1)
+        align = jax.nn.softmax(scores + scores_bias, axis=-1)  # (B, T_in)
+        context = jnp.einsum("bt,btd->bd", align, memory)
+
+        h = jnp.concatenate([h_att, context], -1) @ w.ip_w + w.ip_b
+        h0 = _gru_step(h0, h, w.d0_wgx, w.d0_bg, w.d0_wgh,
+                       w.d0_wcx, w.d0_bc, w.d0_wch)
+        h = h + h0
+        h1 = _gru_step(h1, h, w.d1_wgx, w.d1_bg, w.d1_wgh,
+                       w.d1_wcx, w.d1_bc, w.d1_wch)
+        h = h + h1
+
+        frames = h @ w.f_w + w.f_b                             # (B, r*n_mels)
+        prev = frames[:, (r - 1) * n_mels:]
+
+        group_peak = frames.reshape(b, r, n_mels).max(axis=(-1, -2))
+        silent_run = jnp.where(group_peak < silence_threshold,
+                               silent_run + 1, 0)
+
+        frames_buf = jax.lax.dynamic_update_index_in_dim(frames_buf, frames, t, 0)
+        aligns_buf = jax.lax.dynamic_update_index_in_dim(aligns_buf, align, t, 0)
+        return (t + 1, h_att, h0, h1, context, prev, silent_run,
+                frames_buf, aligns_buf)
+
+    def cond(carry):
+        t, silent_run = carry[0], carry[6]
+        return (t < n_steps) & ~jnp.all(silent_run >= min_silence_steps)
+
+    dtype = memory.dtype
+    carry = (
+        jnp.int32(0),
+        jnp.zeros((b, ag_dim), dtype), jnp.zeros((b, d_dim), dtype),
+        jnp.zeros((b, d_dim), dtype), jnp.zeros((b, mem_dim), dtype),
+        jnp.zeros((b, n_mels), dtype), jnp.zeros((b,), jnp.int32),
+        jnp.zeros((n_steps, b, r * n_mels), dtype),
+        jnp.zeros((n_steps, b, t_in), dtype),
+    )
+    t, *_, frames_buf, aligns_buf = jax.lax.while_loop(cond, body, carry)
+    mel = frames_buf.swapaxes(0, 1).reshape(b, n_steps * r, n_mels)
+    return mel, aligns_buf.swapaxes(0, 1), t

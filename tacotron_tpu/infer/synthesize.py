@@ -23,13 +23,24 @@ import jax.numpy as jnp
 from tacotron_tpu.config import Config
 from tacotron_tpu.data.vocab import Vocab
 from tacotron_tpu.dsp import inv_spectrogram
+from tacotron_tpu.infer.early_exit import decode_while, end_frames
 from tacotron_tpu.models import Tacotron
 
 
 class Synthesizer:
     """``fused=True`` decodes through the Pallas fused decode-loop kernel
     (ops/pallas/decode_loop; VMEM-resident state/weights) instead of the XLA
-    scan; both paths share the same params and produce equivalent output."""
+    scan; both paths share the same params and produce equivalent output.
+
+    ``cfg.infer`` (InferConfig) controls the no-stop-token mitigations
+    (SURVEY.md §7.3 item 1, all off by default for reference parity):
+    ``early_exit`` decodes under a silence-heuristic ``lax.while_loop``;
+    ``trim_before_gl`` slices the linear spectrogram to the batch's max
+    detected end frame (quantized) before Griffin-Lim, which skips GL — the
+    dominant cost — on pure padding. Either flag splits synthesis into a
+    model jit and a GL jit (one extra dispatch, negligible vs GL itself).
+    Per-utterance trimming metadata is ALWAYS returned (end_frames,
+    wav_lengths, trimmed audio seconds) regardless of flags."""
 
     def __init__(self, cfg: Config, params, batch_stats, vocab: Vocab,
                  fused: bool = False):
@@ -38,6 +49,53 @@ class Synthesizer:
         self.vocab = vocab
         self.model = Tacotron(cfg.model, train=False)
         self.fused = fused
+        icfg = cfg.infer
+        self.split_gl = (icfg.early_exit or icfg.trim_before_gl) and not fused
+
+        if self.split_gl:
+            if icfg.early_exit:
+                from tacotron_tpu.models.encoder import Encoder
+                from tacotron_tpu.ops.pallas.decode_loop import pack_decoder_weights
+
+                encoder = Encoder(cfg.model, train=False)
+                # while_loop stop unit is a decoder step = r frames
+                min_steps = max(1, -(-icfg.min_silence_frames // cfg.model.r))
+
+                @functools.partial(jax.jit, static_argnames=("n_steps",))
+                def _model(variables, text, text_len, rng, n_steps):
+                    v, bs = variables["params"], variables["batch_stats"]
+                    memory = encoder.apply(
+                        {"params": v["encoder"], "batch_stats": bs["encoder"]},
+                        text, text_len, rngs={"dropout": rng},
+                    )
+                    keys = memory @ v["memory_proj"]["kernel"]
+                    mask = jnp.arange(text.shape[1])[None, :] < text_len[:, None]
+                    w = pack_decoder_weights(v["decoder"]["cell"])
+                    mel, aligns, _ = decode_while(
+                        memory, keys, mask, w, rng, n_steps=n_steps,
+                        r=cfg.model.r, n_mels=cfg.model.n_mels,
+                        dropout_rate=cfg.model.prenet_dropout,
+                        silence_threshold=icfg.silence_threshold,
+                        min_silence_steps=min_steps,
+                    )
+                    linear = self._postnet_apply(v, bs, mel)
+                    return mel, linear, aligns
+            else:
+                @functools.partial(jax.jit, static_argnames=("n_steps",))
+                def _model(variables, text, text_len, rng, n_steps):
+                    out = self.model.apply(
+                        variables, text, text_len, n_steps=n_steps,
+                        rngs={"dropout": rng},
+                    )
+                    return out.mel, out.linear, out.alignments
+
+            @functools.partial(jax.jit, static_argnames=("gl_iters",))
+            def _gl(linear, gl_iters):
+                return inv_spectrogram(linear, cfg.audio, n_iter=gl_iters)
+
+            self._model_fn, self._gl_fn = _model, _gl
+            self._synth = None
+            return
 
         if not fused:
             @functools.partial(jax.jit, static_argnames=("n_steps", "gl_iters"))
@@ -89,6 +147,13 @@ class Synthesizer:
 
         self._synth = _synth
 
+    def _postnet_apply(self, v, bs, mel):
+        from tacotron_tpu.models.postnet import PostNet
+        if not hasattr(self, "_postnet"):
+            self._postnet = PostNet(self.cfg.model, train=False)
+        return self._postnet.apply(
+            {"params": v["postnet"], "batch_stats": bs["postnet"]}, mel)
+
     def encode_texts(self, texts: list[str], pad_to: int | None = None):
         ids = [self.vocab.encode(t) for t in texts]
         max_len = max(len(i) for i in ids)
@@ -104,27 +169,48 @@ class Synthesizer:
     def __call__(self, texts: list[str], n_steps: int | None = None,
                  gl_iters: int | None = None, seed: int = 0,
                  peak_normalize: bool = True):
-        """Synthesize a batch. Returns dict with mel, linear, alignments, wavs.
-
-        wavs is (B, T_samples) float32; trim per-utterance externally if
-        desired (no stop token — fixed length, paper §3.2).
+        """Synthesize a batch. Returns dict with mel, linear, alignments, wavs
+        (B, T_samples) plus per-utterance trimming metadata: end_frames (first
+        detected-silence frame), wav_lengths (samples), audio_seconds (padded
+        total — the parity metric) and trimmed_audio_seconds (real audio).
         """
         cfg = self.cfg
+        icfg = cfg.infer
         n_steps = n_steps or cfg.model.max_decode_steps
         gl_iters = gl_iters or cfg.audio.griffin_lim_iters
         text, lengths = self.encode_texts(texts)
-        mel, linear, align, wav = self._synth(
-            self.variables, text, lengths, jax.random.PRNGKey(seed),
-            n_steps, gl_iters,
-        )
+        rng = jax.random.PRNGKey(seed)
+
+        if self.split_gl:
+            mel, linear, align = self._model_fn(
+                self.variables, text, lengths, rng, n_steps)
+            ends = end_frames(np.asarray(mel), icfg.silence_threshold,
+                              icfg.min_silence_frames)
+            if icfg.trim_before_gl:
+                q = icfg.gl_length_quantum
+                t_gl = min(int(-(-max(int(ends.max()), q) // q) * q),
+                           linear.shape[1])
+                wav = self._gl_fn(linear[:, :t_gl], gl_iters)
+            else:
+                wav = self._gl_fn(linear, gl_iters)
+        else:
+            mel, linear, align, wav = self._synth(
+                self.variables, text, lengths, rng, n_steps, gl_iters)
+            ends = end_frames(np.asarray(mel), icfg.silence_threshold,
+                              icfg.min_silence_frames)
+
         wav = np.asarray(wav)
         if peak_normalize:
             peak = np.abs(wav).max(axis=-1, keepdims=True)
             wav = wav / np.maximum(peak, 1e-3)
+        wav_lengths = np.minimum(ends * cfg.audio.hop_length, wav.shape[1])
         return {
             "mel": np.asarray(mel),
             "linear": np.asarray(linear),
             "alignments": np.asarray(align),
             "wavs": wav,
+            "end_frames": ends,
+            "wav_lengths": wav_lengths,
             "audio_seconds": wav.shape[0] * wav.shape[1] / cfg.audio.sample_rate,
+            "trimmed_audio_seconds": float(wav_lengths.sum()) / cfg.audio.sample_rate,
         }
