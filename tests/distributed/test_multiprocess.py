@@ -61,6 +61,7 @@ print(json.dumps({"pid": pid, "loss": loss, "step": int(state.step)}), flush=Tru
 """
 
 
+@pytest.mark.slow
 @pytest.mark.timeout(600)
 def test_two_process_dp_agrees():
     port = "12355"

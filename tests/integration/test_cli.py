@@ -38,6 +38,7 @@ def test_preprocess_cli(workdir):
     assert stats["n_utterances"] == 6
 
 
+@pytest.mark.slow
 def test_train_cli_and_resume(workdir):
     args = [
         "tacotron_tpu.cli.train",
@@ -55,6 +56,7 @@ def test_train_cli_and_resume(workdir):
     assert json.loads(out.strip().splitlines()[-1])["step"] == 12
 
 
+@pytest.mark.slow
 def test_synthesize_cli(workdir):
     out = _run([
         "tacotron_tpu.cli.synthesize",

@@ -123,14 +123,18 @@ class TestAutoregressive:
 
 class TestParamCount:
     def test_full_model_param_count_in_expected_range(self):
-        """Full 256-d Tacotron is ~7M params (SURVEY.md §2.3)."""
+        """Full 256-d Tacotron is ~7M params (SURVEY.md §2.3). Shape-only init
+        via eval_shape — counting params needs no weight materialisation (the
+        real init took ~37 s of the suite's budget, VERDICT r1 weak #8)."""
         cfg = get_config("full_1chip").model
         model = Tacotron(cfg, train=True)
         text = jnp.ones((1, 8), jnp.int32)
         mel = jnp.zeros((1, cfg.r * 2, cfg.n_mels))
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
-            text, jnp.array([8]), gt_mel=mel,
+        variables = jax.eval_shape(
+            lambda: model.init(
+                {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                text, jnp.array([8]), gt_mel=mel,
+            )
         )
         n = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(variables["params"]))
         assert 4e6 < n < 15e6, f"param count {n/1e6:.2f}M outside expected range"
