@@ -1,0 +1,176 @@
+"""Alignment-learning evidence run (VERDICT.md round-1 missing item #1).
+
+The reference's de-facto validation was a trained model whose TensorBoard
+attention-alignment image shows a monotonic diagonal (SURVEY.md §4.1 [R]).
+This script produces that evidence for the rebuild: it overfits the char-tone
+toy corpus (audio IS the text — each character renders as a pitch-coded tone,
+so a ground-truth monotonic alignment exists) and records
+
+  * the attention-entropy curve over training,
+  * a monotonicity score: fraction of adjacent decoder steps whose attention
+    argmax does not move backwards (tolerance 1 encoder position),
+  * a diagonal-correlation score: Pearson r between attention argmax position
+    and decoder step index,
+  * final mel/linear L1 (the BASELINE.md "Mel L1 at convergence" toy row),
+  * the final alignment heatmap (PNG via utils/metrics.plot_alignment + raw
+    .npy), committed under artifacts/alignment/.
+
+Run:  python scripts/alignment_run.py [--steps 3000] [--platform cpu]
+      (default platform = whatever JAX gives; TPU is ~an order faster)
+
+The gated regression test lives in tests/integration/test_alignment.py
+(marked slow): same corpus/config, fewer steps, softer thresholds.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def monotonicity(align: np.ndarray, text_len: int, frame_steps: int) -> dict:
+    """align: (dec_steps, T_in) one utterance. Scores over the active region."""
+    a = align[:frame_steps, :text_len]
+    pos = a.argmax(axis=-1).astype(np.float64)
+    steps = np.arange(len(pos), dtype=np.float64)
+    fwd = np.diff(pos) >= -1.0          # tolerance: 1 encoder position
+    corr = float(np.corrcoef(steps, pos)[0, 1]) if pos.std() > 0 else 0.0
+    return {
+        "monotonic_frac": float(fwd.mean()),
+        "diag_corr": corr,
+        "span_frac": float((np.unique(pos).size) / text_len),
+    }
+
+
+def entropy(align: np.ndarray) -> float:
+    a = np.clip(align, 1e-8, 1.0)
+    return float(-(a * np.log(a)).sum(-1).mean())
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--n-utts", type=int, default=16)
+    p.add_argument("--text-len", type=int, default=14)
+    p.add_argument("--alphabet-size", type=int, default=26,
+                   help="distinct characters; with a larger alphabet and "
+                        "enough utterances the decoder cannot memorise the "
+                        "corpus through its autoregressive state, so the "
+                        "attention MUST resolve text position")
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="0 = overfit one fixed batch of all n-utts (fast "
+                        "demo). >0 = shuffled minibatches over the corpus — "
+                        "with n-utts >> batch the decoder cannot memorise "
+                        "per-utterance outputs, which is what forces a real "
+                        "positional alignment (the r1 probe's flat-attention "
+                        "failure mode was exactly single-batch memorisation)")
+    p.add_argument("--platform", default=None)
+    p.add_argument("--out", default="artifacts/alignment")
+    p.add_argument("--log-every", type=int, default=100)
+    args = p.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from tacotron_tpu.config import AudioConfig, get_config
+    from tacotron_tpu.data import ljspeech
+    from tacotron_tpu.data.loader import DataLoader, Dataset
+    from tacotron_tpu.train.step import create_train_state, make_train_step
+    from tacotron_tpu.utils.metrics import plot_alignment
+
+    acfg = AudioConfig(n_fft=512, win_length=400, hop_length=128, n_mels=80)
+    root = "/tmp/alignment_run"
+    ljspeech.generate_char_tone_corpus(
+        os.path.join(root, "corpus"), n=args.n_utts, text_len=args.text_len,
+        alphabet_size=args.alphabet_size)
+    ljspeech.preprocess(os.path.join(root, "corpus"),
+                        os.path.join(root, "data"), acfg, chunk=8)
+    ds = Dataset(os.path.join(root, "data"))
+
+    cfg = get_config("tiny_cpu")
+    cfg = dataclasses.replace(
+        cfg, audio=acfg,
+        model=dataclasses.replace(cfg.model,
+                                  vocab_size=max(32, len(ds.vocab)),
+                                  n_freq=acfg.n_freq),
+    )
+    dl = DataLoader(ds, batch_size=args.batch_size or args.n_utts,
+                    num_buckets=1, r=cfg.model.r, seed=5)
+    it = iter(dl)
+
+    def to_dev(b):
+        return (jnp.asarray(b.text), jnp.asarray(b.text_len),
+                jnp.asarray(b.mel), jnp.asarray(b.linear),
+                jnp.asarray(b.frame_len))
+
+    b = next(it)                       # fixed eval batch (= the train batch
+    eval_batch = to_dev(b)             # in single-batch overfit mode)
+
+    state = create_train_state(cfg, jax.random.PRNGKey(3))
+    step = make_train_step(cfg)
+
+    curve = []
+    for i in range(1, args.steps + 1):
+        batch = eval_batch if args.batch_size == 0 else to_dev(next(it))
+        state, m, al = step(state, *batch)
+        if i % args.log_every == 0 or i == args.steps:
+            al_np = np.asarray(al)
+            ent = entropy(al_np)
+            row = {"step": i, "total_loss": float(m["total_loss"]),
+                   "mel_loss": float(m["mel_loss"]),
+                   "linear_loss": float(m["linear_loss"]), "entropy": ent}
+            curve.append(row)
+            print(f"step {i:5d}  loss {row['total_loss']:.4f}  "
+                  f"mel {row['mel_loss']:.4f}  entropy {ent:.3f}", flush=True)
+
+    # final alignments on the FIXED eval batch (in minibatch mode `al` above
+    # came from whatever batch the last step drew)
+    state, m, al = step(state, *eval_batch)
+    al_np = np.asarray(al)                    # (B, dec_steps, T_in)
+    tl = np.asarray(b.text_len)
+    fl = np.asarray(b.frame_len)
+    scores = [monotonicity(al_np[j], int(tl[j]),
+                           int(fl[j]) // cfg.model.r) for j in range(len(tl))]
+    summary = {
+        "steps": args.steps,
+        "n_utts": args.n_utts,
+        "text_len": args.text_len,
+        "final": curve[-1],
+        "monotonic_frac_mean": float(np.mean([s["monotonic_frac"] for s in scores])),
+        "monotonic_frac_min": float(np.min([s["monotonic_frac"] for s in scores])),
+        "diag_corr_mean": float(np.mean([s["diag_corr"] for s in scores])),
+        "diag_corr_min": float(np.min([s["diag_corr"] for s in scores])),
+        "per_utt": scores,
+        "curve": curve,
+        "backend": jax.default_backend(),
+    }
+
+    os.makedirs(args.out, exist_ok=True)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=1)
+    np.save(os.path.join(args.out, "final_alignments.npy"), al_np)
+    # heatmap of the first utterance's active region
+    img = plot_alignment(al_np[0, :int(fl[0]) // cfg.model.r, :int(tl[0])],
+                         title=f"char-tone utt0 @ step {args.steps}")
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.imsave(os.path.join(args.out, "alignment_utt0.png"), img)
+    except Exception as e:  # keep the npy artifact even if PNG fails
+        print("png save failed:", e)
+
+    print(json.dumps({k: summary[k] for k in
+                      ("monotonic_frac_mean", "diag_corr_mean", "final")}))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,10 +80,21 @@ class ModelConfig:
     # Batch-norm moments are ALWAYS global-batch under jit+GSPMD (the sharded
     # batch mean is a global mean), i.e. cross-replica — SURVEY.md §7.3 item 4.
     param_dtype: str = "float32"
+    # Computation dtype for matmuls/convs (params, state, BN stats, softmax,
+    # loss stay f32). "bfloat16" feeds the MXU its native dtype — the standard
+    # TPU mixed-precision recipe; "float32" is the reference-parity default.
+    compute_dtype: str = "float32"
 
     @property
     def memory_dim(self) -> int:
         return 2 * self.gru_dim       # bidirectional GRU concat
+
+    @property
+    def cdtype(self):
+        """Computation dtype for flax ``dtype=`` args; None = full precision
+        (flax then promotes by input dtype, i.e. f32 everywhere)."""
+        import jax.numpy as jnp
+        return None if self.compute_dtype == "float32" else jnp.dtype(self.compute_dtype)
 
 
 @dataclass(frozen=True)

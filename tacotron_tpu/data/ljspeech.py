@@ -209,14 +209,21 @@ def preprocess(corpus_dir: str, data_dir: str, cfg: AudioConfig,
 
 def generate_char_tone_corpus(corpus_dir: str, n: int = 8,
                               sample_rate: int = 22050, seed: int = 0,
-                              char_sec: float = 0.06, text_len: int = 12) -> None:
+                              char_sec: float = 0.06, text_len: int = 12,
+                              alphabet_size: int = 10) -> None:
     """Synthetic corpus where audio IS the text: each character renders as a
     fixed-duration tone whose pitch encodes the character. Attention has a
     ground-truth monotonic alignment to learn — used by the overfit-alignment
-    health check (SURVEY.md §4.3)."""
+    health check (SURVEY.md §4.3).
+
+    ``alphabet_size`` (2..26): with a larger alphabet and enough utterances
+    the decoder cannot memorise per-utterance outputs from its autoregressive
+    state alone, so attention MUST resolve text position — which is exactly
+    what the alignment probe needs to demonstrate (VERDICT.md r1 item 2: a
+    small repeated-character corpus overfits with near-flat attention)."""
     rs = np.random.default_rng(seed)
     os.makedirs(os.path.join(corpus_dir, "wavs"), exist_ok=True)
-    alphabet = "abcdefghij"
+    alphabet = "abcdefghijklmnopqrstuvwxyz"[:alphabet_size]
     lines = []
     for i in range(n):
         utt_id = f"CT-{i:04d}"

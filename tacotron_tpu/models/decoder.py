@@ -48,32 +48,35 @@ class DecoderCell(nn.Module):
     def __call__(self, state: DecoderState, frame_in, keys, memory, mask):
         cfg = self.cfg
         pdtype = jnp.dtype(cfg.param_dtype)
+        cdtype = cfg.cdtype
 
         # Input frame: ground truth (teacher forcing) or last prediction.
         x = state.prev_frame if self.feed_previous else frame_in
         x = Prenet(cfg.prenet_dims, cfg.prenet_dropout, deterministic=False,
-                   param_dtype=pdtype, name="prenet")(x)
+                   param_dtype=pdtype, dtype=cdtype, name="prenet")(x)
 
         # Attention RNN: input = [prenet_out, previous context]
-        h_att, _ = GRUCell(cfg.attention_gru_dim, pdtype, name="attention_gru")(
-            state.h_att, jnp.concatenate([x, state.context], axis=-1)
+        h_att, _ = GRUCell(cfg.attention_gru_dim, pdtype, dtype=cdtype,
+                           name="attention_gru")(
+            state.h_att, jnp.concatenate([x, state.context.astype(x.dtype)], axis=-1)
         )
         # keys were precomputed outside the scan (memory_proj in Tacotron).
         context, alignment = BahdanauAttention(
-            cfg.attention_dim, pdtype, name="attention"
+            cfg.attention_dim, pdtype, dtype=cdtype, name="attention"
         )(h_att, keys, memory, mask)
 
         # [attention RNN output, context] -> 256 (reference:
         # OutputProjectionWrapper over the concat cell [R])
         h = nn.Dense(cfg.decoder_gru_dim, name="decoder_input_proj",
-                     param_dtype=pdtype)(
+                     param_dtype=pdtype, dtype=cdtype)(
             jnp.concatenate([h_att, context], axis=-1)
-        )
+        ).astype(jnp.float32)
 
         # 2-layer residual GRU stack (paper Table 1)
         new_h_dec = []
         for i, h_prev in enumerate(state.h_dec):
-            h_i, _ = GRUCell(cfg.decoder_gru_dim, pdtype, name=f"decoder_gru{i}")(
+            h_i, _ = GRUCell(cfg.decoder_gru_dim, pdtype, dtype=cdtype,
+                             name=f"decoder_gru{i}")(
                 h_prev, h
             )
             h = h + h_i  # residual connection
@@ -81,7 +84,7 @@ class DecoderCell(nn.Module):
 
         # Emit r frames at once (paper §3.2 reduction trick)
         frames = nn.Dense(cfg.r * cfg.n_mels, name="frame_proj",
-                          param_dtype=pdtype)(h)  # (B, r*n_mels)
+                          param_dtype=pdtype, dtype=cdtype)(h).astype(jnp.float32)  # (B, r*n_mels)
         last_frame = frames[:, (cfg.r - 1) * cfg.n_mels :]
 
         new_state = DecoderState(h_att, tuple(new_h_dec), context, last_frame)

@@ -26,11 +26,12 @@ class Encoder(nn.Module):
     def __call__(self, text_ids, text_lengths=None):
         cfg = self.cfg
         pdtype = jnp.dtype(cfg.param_dtype)
+        cdtype = cfg.cdtype
         emb = nn.Embed(cfg.vocab_size, cfg.embed_dim, name="embed",
                        param_dtype=pdtype)(text_ids)  # (B, T_in, E)
         x = Prenet(cfg.prenet_dims, cfg.prenet_dropout,
                    deterministic=False,  # paper: dropout always on
-                   param_dtype=pdtype, name="prenet")(emb)
+                   param_dtype=pdtype, dtype=cdtype, name="prenet")(emb)
         memory = CBHG(
             k=cfg.encoder_bank_k,
             bank_channels=cfg.encoder_bank_channels,
@@ -40,6 +41,7 @@ class Encoder(nn.Module):
             gru_dim=cfg.gru_dim,
             train=self.train,
             param_dtype=pdtype,
+            dtype=cdtype,
             name="cbhg",
         )(x, lengths=text_lengths)
         return memory  # (B, T_in, 2*gru_dim)

@@ -33,6 +33,8 @@ class PostNet(nn.Module):
             gru_dim=cfg.gru_dim,
             train=self.train,
             param_dtype=pdtype,
+            dtype=cfg.cdtype,
             name="cbhg",
         )(mel, lengths=lengths)
-        return nn.Dense(cfg.n_freq, name="linear_proj", param_dtype=pdtype)(h)
+        return nn.Dense(cfg.n_freq, name="linear_proj", param_dtype=pdtype,
+                        dtype=cfg.cdtype)(h).astype(jnp.float32)

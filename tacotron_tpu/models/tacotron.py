@@ -50,7 +50,7 @@ class Tacotron(nn.Module):
         # Attention keys hoisted out of the decode scan (SURVEY.md §3.3):
         # one (B,T_in,memory_dim)x(memory_dim,attention_dim) matmul per batch.
         keys = nn.Dense(cfg.attention_dim, use_bias=False, name="memory_proj",
-                        param_dtype=pdtype)(memory)
+                        param_dtype=pdtype, dtype=cfg.cdtype)(memory)
 
         if gt_mel is None and n_steps is None:
             n_steps = cfg.max_decode_steps

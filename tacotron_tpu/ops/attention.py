@@ -25,12 +25,15 @@ NEG_INF = -1e9
 class BahdanauAttention(nn.Module):
     dim: int = 256
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None    # projection dtype; scores/softmax f32
 
     def setup(self):
         self.query_proj = nn.Dense(self.dim, use_bias=False, name="query",
-                                   param_dtype=self.param_dtype)
+                                   param_dtype=self.param_dtype,
+                                   dtype=self.dtype)
         self.memory_proj = nn.Dense(self.dim, use_bias=False, name="memory",
-                                    param_dtype=self.param_dtype)
+                                    param_dtype=self.param_dtype,
+                                    dtype=self.dtype)
         self.v = self.param("v", nn.initializers.lecun_normal(), (self.dim, 1),
                             self.param_dtype)
 
@@ -52,9 +55,11 @@ class BahdanauAttention(nn.Module):
         Returns (context (B, D_mem), alignment (B, T_in)).
         """
         q = self.query_proj(query)[:, None, :]            # (B, 1, dim)
-        scores = jnp.squeeze(jnp.tanh(keys + q) @ self.v, -1)  # (B, T_in)
+        scores = jnp.squeeze(
+            jnp.tanh(keys + q).astype(jnp.float32) @ self.v, -1)  # (B, T_in)
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
         alignment = jax.nn.softmax(scores, axis=-1)
-        context = jnp.einsum("bt,btd->bd", alignment, memory)
+        context = jnp.einsum("bt,btd->bd", alignment,
+                             memory.astype(jnp.float32))
         return context, alignment

@@ -27,20 +27,23 @@ class CBHG(nn.Module):
     gru_dim: int
     train: bool
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None    # matmul/conv computation dtype
 
     @nn.compact
     def __call__(self, x, lengths=None):
         # x: (B, T, C_in); returns (B, T, 2*gru_dim)
         residual = x
         h = ConvBank(self.k, self.bank_channels, self.train,
-                     self.param_dtype, name="bank")(x)
+                     self.param_dtype, dtype=self.dtype, name="bank")(x)
         # max pool width 2, stride 1, SAME
         h = nn.max_pool(h, window_shape=(2,), strides=(1,), padding="SAME")
         h = Conv1dProjection(tuple(self.proj_dims), self.train,
-                             param_dtype=self.param_dtype, name="proj")(h)
-        h = h + residual  # proj_dims[-1] must equal C_in
+                             param_dtype=self.param_dtype, dtype=self.dtype,
+                             name="proj")(h)
+        h = h + residual.astype(h.dtype)  # proj_dims[-1] must equal C_in
         h = HighwayStack(self.highway_layers, self.highway_dim,
-                         self.param_dtype, name="highway")(h)
-        return bidirectional_gru(self.gru_dim, self.param_dtype, name="bigru")(
+                         self.param_dtype, dtype=self.dtype, name="highway")(h)
+        return bidirectional_gru(self.gru_dim, self.param_dtype,
+                                 dtype=self.dtype, name="bigru")(
             h, lengths=lengths
         )

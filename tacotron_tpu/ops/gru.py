@@ -27,6 +27,7 @@ class GRUCell(nn.Module):
 
     features: int
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None    # matmul dtype; gates/state stay f32
 
     @nn.compact
     def __call__(self, h, x):
@@ -36,11 +37,15 @@ class GRUCell(nn.Module):
             name="gates",
             bias_init=nn.initializers.ones,  # TF GRUCell gate bias init = 1.0
             param_dtype=self.param_dtype,
+            dtype=self.dtype,
         )
-        dense_c = nn.Dense(d, name="candidate", param_dtype=self.param_dtype)
-        ru = jax.nn.sigmoid(dense_g(jnp.concatenate([x, h], axis=-1)))
+        dense_c = nn.Dense(d, name="candidate", param_dtype=self.param_dtype,
+                           dtype=self.dtype)
+        f32 = jnp.float32
+        h = h.astype(f32)
+        ru = jax.nn.sigmoid(dense_g(jnp.concatenate([x, h], axis=-1)).astype(f32))
         r, u = jnp.split(ru, 2, axis=-1)
-        c = jnp.tanh(dense_c(jnp.concatenate([x, r * h], axis=-1)))
+        c = jnp.tanh(dense_c(jnp.concatenate([x, r * h], axis=-1)).astype(f32))
         h_new = u * h + (1.0 - u) * c
         return h_new, h_new
 
@@ -55,6 +60,7 @@ class _ScanGRU(nn.Module):
     features: int
     reverse: bool = False
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xs, h0=None, lengths=None):
@@ -63,8 +69,9 @@ class _ScanGRU(nn.Module):
         d = self.features
         # Parameters laid out to match GRUCell's fused [x, h] @ W contract.
         wg_x = nn.Dense(2 * d, name="gates_x", bias_init=nn.initializers.ones,
-                        param_dtype=self.param_dtype)
-        wc_x = nn.Dense(d, name="cand_x", param_dtype=self.param_dtype)
+                        param_dtype=self.param_dtype, dtype=self.dtype)
+        wc_x = nn.Dense(d, name="cand_x", param_dtype=self.param_dtype,
+                        dtype=self.dtype)
         # Recurrent weights as raw params: flax modules can't be applied
         # inside a raw lax.scan body, and the scan carries only h anyway.
         init = nn.initializers.lecun_normal()
@@ -89,14 +96,19 @@ class _ScanGRU(nn.Module):
         elif self.reverse:
             gx, cx = gx[:, ::-1], cx[:, ::-1]
 
+        cd = self.dtype or self.param_dtype
+        wg_h_c, wc_h_c = wg_h.astype(cd), wc_h.astype(cd)
+        f32 = jnp.float32
+
         def step(h, inp):
             gx_t, cx_t = inp
-            ru = jax.nn.sigmoid(gx_t + h @ wg_h)
+            ru = jax.nn.sigmoid((gx_t + h.astype(cd) @ wg_h_c).astype(f32))
             r, u = jnp.split(ru, 2, axis=-1)
-            c = jnp.tanh(cx_t + (r * h) @ wc_h)
+            c = jnp.tanh((cx_t + (r * h).astype(cd) @ wc_h_c).astype(f32))
             h_new = u * h + (1.0 - u) * c
             return h_new, h_new
 
+        h0 = h0.astype(f32)
         h_last, ys = jax.lax.scan(step, h0, (gx.swapaxes(0, 1), cx.swapaxes(0, 1)))
         ys = ys.swapaxes(0, 1)  # (B, T, d)
 
@@ -115,14 +127,16 @@ class _GRUDirParams(nn.Module):
 
     features: int
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xs):
         d = self.features
         init = nn.initializers.lecun_normal()
         gx = nn.Dense(2 * d, name="gates_x", bias_init=nn.initializers.ones,
-                      param_dtype=self.param_dtype)(xs)
-        cx = nn.Dense(d, name="cand_x", param_dtype=self.param_dtype)(xs)
+                      param_dtype=self.param_dtype, dtype=self.dtype)(xs)
+        cx = nn.Dense(d, name="cand_x", param_dtype=self.param_dtype,
+                      dtype=self.dtype)(xs)
         wg_h = self.param("gates_h",
                           lambda k: {"kernel": init(k, (d, 2 * d), self.param_dtype)})["kernel"]
         wc_h = self.param("cand_h",
@@ -133,11 +147,12 @@ class _GRUDirParams(nn.Module):
 class unidirectional_gru(nn.Module):
     features: int
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xs, h0=None):
         ys, h = _ScanGRU(self.features, reverse=False, param_dtype=self.param_dtype,
-                         name="fwd")(xs, h0)
+                         dtype=self.dtype, name="fwd")(xs, h0)
         return ys, h
 
 
@@ -155,22 +170,25 @@ class bidirectional_gru(nn.Module):
     features: int
     param_dtype: jnp.dtype = jnp.float32
     stacked: bool = True
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, xs, lengths=None):
         if not self.stacked:
             fwd, _ = _ScanGRU(self.features, reverse=False,
-                              param_dtype=self.param_dtype, name="fwd")(xs)
+                              param_dtype=self.param_dtype, dtype=self.dtype,
+                              name="fwd")(xs)
             bwd, _ = _ScanGRU(self.features, reverse=True,
-                              param_dtype=self.param_dtype, name="bwd")(xs,
-                                                                        lengths=lengths)
+                              param_dtype=self.param_dtype, dtype=self.dtype,
+                              name="bwd")(xs,
+                                          lengths=lengths)
             return jnp.concatenate([fwd, bwd], axis=-1)
 
         b, t, _ = xs.shape
         d = self.features
         # param trees identical to _ScanGRU's fwd/ and bwd/ scopes
-        fwd = _GRUDirParams(d, self.param_dtype, name="fwd")
-        bwd = _GRUDirParams(d, self.param_dtype, name="bwd")
+        fwd = _GRUDirParams(d, self.param_dtype, self.dtype, name="fwd")
+        bwd = _GRUDirParams(d, self.param_dtype, self.dtype, name="bwd")
 
         # hoisted input projections for both directions
         gx_f, cx_f, fwd_gh, fwd_ch = fwd(xs)
@@ -186,20 +204,24 @@ class bidirectional_gru(nn.Module):
         # stack directions on the batch axis: (T, 2B, ·)
         gx = jnp.concatenate([gx_f, gx_b], axis=0).swapaxes(0, 1)
         cx = jnp.concatenate([cx_f, cx_b], axis=0).swapaxes(0, 1)
-        wgh = jnp.stack([fwd_gh, bwd_gh])     # (2, d, 2d)
-        wch = jnp.stack([fwd_ch, bwd_ch])     # (2, d, d)
+        cd = self.dtype or self.param_dtype
+        f32 = jnp.float32
+        wgh = jnp.stack([fwd_gh, bwd_gh]).astype(cd)     # (2, d, 2d)
+        wch = jnp.stack([fwd_ch, bwd_ch]).astype(cd)     # (2, d, d)
 
         def step(h, inp):
             gx_t, cx_t = inp                   # (2B, ·)
-            hg = h.reshape(2, b, d)
+            hg = h.astype(cd).reshape(2, b, d)
             rec_g = jax.lax.dot_general(       # 2-group batched matmul
-                hg, wgh, (((2,), (1,)), ((0,), (0,)))).reshape(2 * b, 2 * d)
-            ru = jax.nn.sigmoid(gx_t + rec_g)
+                hg, wgh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32).reshape(2 * b, 2 * d)
+            ru = jax.nn.sigmoid((gx_t + rec_g).astype(f32))
             r, u = jnp.split(ru, 2, axis=-1)
-            rh = (r * h).reshape(2, b, d)
+            rh = (r * h).astype(cd).reshape(2, b, d)
             rec_c = jax.lax.dot_general(
-                rh, wch, (((2,), (1,)), ((0,), (0,)))).reshape(2 * b, d)
-            c = jnp.tanh(cx_t + rec_c)
+                rh, wch, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32).reshape(2 * b, d)
+            c = jnp.tanh((cx_t + rec_c).astype(f32))
             h_new = u * h + (1.0 - u) * c
             return h_new, h_new
 

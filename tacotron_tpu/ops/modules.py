@@ -28,11 +28,13 @@ class Prenet(nn.Module):
     dropout: float = 0.5
     deterministic: bool = False
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None    # computation dtype (bf16 fast path)
 
     @nn.compact
     def __call__(self, x):
         for i, d in enumerate(self.dims):
-            x = nn.relu(nn.Dense(d, name=f"fc{i}", param_dtype=self.param_dtype)(x))
+            x = nn.relu(nn.Dense(d, name=f"fc{i}", param_dtype=self.param_dtype,
+                                 dtype=self.dtype)(x))
             x = nn.Dropout(self.dropout, deterministic=self.deterministic,
                            name=f"drop{i}")(x)
         return x
@@ -80,6 +82,7 @@ class ConvBank(nn.Module):
     train: bool
     param_dtype: jnp.dtype = jnp.float32
     packed: bool = True
+    dtype: jnp.dtype | None = None    # conv computation dtype; BN stays f32
 
     @nn.compact
     def __call__(self, x):
@@ -95,8 +98,10 @@ class ConvBank(nn.Module):
                     use_bias=False,
                     name=f"conv{width}",
                     param_dtype=self.param_dtype,
+                    dtype=self.dtype,
                 )(x)
-                h = BatchNorm(self.train, self.param_dtype, name=f"bn{width}")(h)
+                h = BatchNorm(self.train, self.param_dtype,
+                              name=f"bn{width}")(h.astype(jnp.float32))
                 outs.append(nn.relu(h))
             return jnp.concatenate(outs, axis=-1)  # (B, T, K*channels)
 
@@ -115,8 +120,12 @@ class ConvBank(nn.Module):
             off = left_k - (width - 1) // 2
             col = (width - 1) * self.channels
             big = jax.lax.dynamic_update_slice(big, kern, (off, 0, col))
+        # NOTE: no preferred_element_type here — a f32-typed output makes the
+        # conv VJP transpose mix f32 cotangents with bf16 weights (TypeError).
+        # bf16 in/out still accumulates f32 on the MXU internally.
+        cd = self.dtype or self.param_dtype
         y = jax.lax.conv_general_dilated(
-            x.astype(self.param_dtype), big,
+            x.astype(cd), big.astype(cd),
             window_strides=(1,), padding="SAME",
             dimension_numbers=("NWC", "WIO", "NWC"),
         )  # (B, T, K*channels)
@@ -124,7 +133,8 @@ class ConvBank(nn.Module):
         outs = []
         for width in range(1, self.k + 1):
             h = y[..., (width - 1) * self.channels : width * self.channels]
-            h = BatchNorm(self.train, self.param_dtype, name=f"bn{width}")(h)
+            h = BatchNorm(self.train, self.param_dtype,
+                          name=f"bn{width}")(h.astype(jnp.float32))
             outs.append(nn.relu(h))
         return jnp.concatenate(outs, axis=-1)
 
@@ -137,13 +147,16 @@ class Conv1dProjection(nn.Module):
     train: bool
     activations: Sequence[Callable | None] = (nn.relu, None)
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         for i, (d, act) in enumerate(zip(self.dims, self.activations)):
             x = nn.Conv(d, kernel_size=(3,), padding="SAME", use_bias=False,
-                        name=f"proj{i}", param_dtype=self.param_dtype)(x)
-            x = BatchNorm(self.train, self.param_dtype, name=f"bn{i}")(x)
+                        name=f"proj{i}", param_dtype=self.param_dtype,
+                        dtype=self.dtype)(x)
+            x = BatchNorm(self.train, self.param_dtype,
+                          name=f"bn{i}")(x.astype(jnp.float32))
             if act is not None:
                 x = act(x)
         return x
@@ -157,20 +170,25 @@ class HighwayStack(nn.Module):
     layers: int = 4
     dim: int = 128
     param_dtype: jnp.dtype = jnp.float32
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         if x.shape[-1] != self.dim:
-            x = nn.Dense(self.dim, name="resize", param_dtype=self.param_dtype)(x)
+            x = nn.Dense(self.dim, name="resize", param_dtype=self.param_dtype,
+                         dtype=self.dtype)(x)
         for i in range(self.layers):
-            h = nn.relu(nn.Dense(self.dim, name=f"H{i}", param_dtype=self.param_dtype)(x))
+            h = nn.relu(nn.Dense(self.dim, name=f"H{i}", param_dtype=self.param_dtype,
+                                 dtype=self.dtype)(x).astype(jnp.float32))
             t = jax.nn.sigmoid(
                 nn.Dense(
                     self.dim,
                     name=f"T{i}",
                     bias_init=nn.initializers.constant(-1.0),
                     param_dtype=self.param_dtype,
-                )(x)
+                    dtype=self.dtype,
+                )(x).astype(jnp.float32)
             )
+            x = x.astype(jnp.float32)
             x = h * t + x * (1.0 - t)
         return x
