@@ -49,6 +49,11 @@ def main(argv=None):
                         "audio + alignment summary (reference behavior, "
                         "SURVEY.md §5.5); 0 = off")
     p.add_argument("--eval-text", default="the quick brown fox jumps over the lazy dog")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, repeatable — e.g. "
+                        "--set model.tf_decoder=hoisted "
+                        "--set model.compute_dtype=bfloat16")
     args = p.parse_args(argv)
 
     import jax
@@ -67,7 +72,7 @@ def main(argv=None):
 
     import jax.numpy as jnp
 
-    from tacotron_tpu.config import get_config
+    from tacotron_tpu.config import apply_overrides, get_config
     from tacotron_tpu.data.loader import DataLoader, Dataset
     from tacotron_tpu.parallel import make_mesh, shard_batch
     from tacotron_tpu.train import checkpoint
@@ -79,7 +84,6 @@ def main(argv=None):
 
     cfg = get_config(args.preset)
     ds = Dataset(args.data_dir)
-    overrides = {}
     tr = cfg.train
     if args.steps is not None:
         tr = dataclasses.replace(tr, max_steps=args.steps)
@@ -96,6 +100,7 @@ def main(argv=None):
                                   n_freq=ds.linears.shape[1],
                                   n_mels=ds.mels.shape[1]),
     )
+    cfg = apply_overrides(cfg, args.overrides)
 
     os.makedirs(args.run_dir, exist_ok=True)
     if multihost.is_primary():

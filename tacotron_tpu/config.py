@@ -84,6 +84,14 @@ class ModelConfig:
     # loss stay f32). "bfloat16" feeds the MXU its native dtype — the standard
     # TPU mixed-precision recipe; "float32" is the reference-parity default.
     compute_dtype: str = "float32"
+    # Teacher-forced decoder implementation. "scan" = the scanned DecoderCell
+    # (reference-shaped parity path); "hoisted" = same math and the SAME param
+    # pytree, but everything that does not depend on recurrent state — prenet,
+    # the input halves of the attention-GRU matmuls, the r-frame output
+    # projection — is lifted out of the sequential scan into big parallel-
+    # over-time MXU matmuls, shortening the 200-step critical path
+    # (BASELINE.md round-2 candidate; SURVEY.md §7.3 item 2).
+    tf_decoder: str = "scan"
 
     @property
     def memory_dim(self) -> int:
@@ -202,6 +210,32 @@ class Config:
             infer=_mk(InferConfig, raw.get("infer", {})),
             name=raw.get("name", "default"),
         )
+
+
+def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
+    """Apply ``section.key=value`` strings to a Config (CLI ``--set``).
+
+    Values parse as JSON first (numbers, booleans, lists->tuples), falling
+    back to the raw string — so ``--set model.tf_decoder=hoisted`` and
+    ``--set train.batch_size=64`` both work.
+    """
+    for ov in overrides:
+        key, _, raw = ov.partition("=")
+        if not _ or "." not in key:
+            raise ValueError(f"override must be section.key=value, got {ov!r}")
+        section, field_name = key.split(".", 1)
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        if isinstance(val, list):
+            val = tuple(val)
+        sub = getattr(cfg, section)
+        if not any(f.name == field_name for f in dataclasses.fields(sub)):
+            raise ValueError(f"unknown config field {key!r}")
+        cfg = dataclasses.replace(
+            cfg, **{section: dataclasses.replace(sub, **{field_name: val})})
+    return cfg
 
 
 def _tiny_model() -> ModelConfig:

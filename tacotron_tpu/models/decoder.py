@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from tacotron_tpu.config import ModelConfig
-from tacotron_tpu.ops.attention import BahdanauAttention
+from tacotron_tpu.ops.attention import NEG_INF, BahdanauAttention
 from tacotron_tpu.ops.gru import GRUCell
 from tacotron_tpu.ops.modules import Prenet
 
@@ -91,6 +91,127 @@ class DecoderCell(nn.Module):
         return new_state, (frames, alignment)
 
 
+def _hoisted_teacher_forced(p, cfg: ModelConfig, frames_in, keys, memory,
+                            mask, rng):
+    """Teacher-forced decode on the raw ``cell`` param pytree with all
+    state-independent work hoisted out of the scan (cfg.tf_decoder="hoisted").
+
+    Same math and the same parameters as scanning DecoderCell, re-associated:
+
+      * prenet over ALL steps: two (B*S, d) MXU matmuls + one dropout draw
+        (teacher-forced inputs are known ahead of time — the scanned cell
+        recomputes them step by step only because the autoregressive mode
+        has to);
+      * the prenet half of the attention-GRU gate/candidate matmuls is
+        precomputed over all steps (the _ScanGRU hoisting trick applied to
+        the attention GRU);
+      * the r-frame output projection runs ONCE on the stacked per-step
+        states after the scan (its output never feeds back in this mode).
+
+    Per-step work drops from 13 small matmuls to 9, and the per-step dropout
+    RNG folding disappears from the sequential chain entirely.
+
+    frames_in: (B, S, n_mels) shifted last-of-group ground-truth frames.
+    Returns (mel (B, S*r, n_mels), alignments (B, S, T_in)).
+    """
+    f32 = jnp.float32
+    cd = cfg.cdtype or jnp.dtype(cfg.param_dtype)
+    b, s, _ = frames_in.shape
+    p1 = cfg.prenet_dims[-1]
+    m_dim = cfg.memory_dim
+
+    # ---- hoisted prenet: parallel over (B, S) ----
+    x = frames_in
+    for i in range(len(cfg.prenet_dims)):
+        w = p["prenet"][f"fc{i}"]["kernel"].astype(cd)
+        bias = p["prenet"][f"fc{i}"]["bias"].astype(cd)
+        x = nn.relu(x.astype(cd) @ w + bias)
+        if cfg.prenet_dropout > 0.0:
+            rng, sub = jax.random.split(rng)
+            keep = 1.0 - cfg.prenet_dropout
+            keep_mask = jax.random.bernoulli(sub, keep, x.shape)
+            x = jnp.where(keep_mask, x / keep, 0).astype(x.dtype)
+    pre = x                                             # (B, S, p1)
+
+    # ---- attention-GRU weights split at the [prenet | context | h] rows ----
+    ag = p["attention_gru"]
+    wg, bg = ag["gates"]["kernel"], ag["gates"]["bias"]
+    wc, bc = ag["candidate"]["kernel"], ag["candidate"]["bias"]
+    gx = (pre @ wg[:p1].astype(cd) + bg.astype(cd)).astype(f32)  # (B, S, 2d)
+    cx = (pre @ wc[:p1].astype(cd) + bc.astype(cd)).astype(f32)  # (B, S, d)
+    wg_ch = wg[p1:].astype(cd)                          # [context, h] rows
+    wc_ch = wc[p1:].astype(cd)                          # [context, r*h] rows
+
+    wq = p["attention"]["query"]["kernel"].astype(cd)
+    v = p["attention"]["v"].astype(f32)                 # scores stay f32
+    wp = p["decoder_input_proj"]["kernel"].astype(cd)
+    bp = p["decoder_input_proj"]["bias"].astype(cd)
+    wf = p["frame_proj"]["kernel"].astype(cd)
+    bf = p["frame_proj"]["bias"].astype(cd)
+    grus = tuple(
+        (p[f"decoder_gru{i}"]["gates"]["kernel"].astype(cd),
+         p[f"decoder_gru{i}"]["gates"]["bias"].astype(cd),
+         p[f"decoder_gru{i}"]["candidate"]["kernel"].astype(cd),
+         p[f"decoder_gru{i}"]["candidate"]["bias"].astype(cd))
+        for i in range(cfg.decoder_depth)
+    )
+    keys_c = keys.astype(cd)
+    mem_f = memory.astype(f32)
+
+    def gru_step(h, xin, wg_i, bg_i, wc_i, bc_i):
+        # TF1 semantics, fused [x, h] layout — identical to GRUCell
+        xh = jnp.concatenate([xin, h], axis=-1).astype(cd)
+        ru = jax.nn.sigmoid((xh @ wg_i + bg_i).astype(f32))
+        r, u = jnp.split(ru, 2, axis=-1)
+        xrh = jnp.concatenate([xin, r * h], axis=-1).astype(cd)
+        c = jnp.tanh((xrh @ wc_i + bc_i).astype(f32))
+        return u * h + (1.0 - u) * c
+
+    def step(carry, inp):
+        h_att, ctx, h_dec = carry
+        gx_t, cx_t = inp
+        # attention GRU on [context, h] (prenet half precomputed in gx/cx)
+        ch = jnp.concatenate([ctx, h_att], axis=-1).astype(cd)
+        ru = jax.nn.sigmoid(gx_t + (ch @ wg_ch).astype(f32))
+        r, u = jnp.split(ru, 2, axis=-1)
+        crh = jnp.concatenate([ctx, r * h_att], axis=-1).astype(cd)
+        cand = jnp.tanh(cx_t + (crh @ wc_ch).astype(f32))
+        h_att = u * h_att + (1.0 - u) * cand
+        # Bahdanau step (ops/attention.py semantics)
+        q = h_att.astype(cd) @ wq
+        scores = jnp.squeeze(jnp.tanh(keys_c + q[:, None, :]).astype(f32) @ v, -1)
+        if mask is not None:
+            scores = jnp.where(mask, scores, NEG_INF)
+        align = jax.nn.softmax(scores, axis=-1)
+        ctx = jnp.einsum("bt,btd->bd", align, mem_f)
+        # projection + residual GRU stack
+        h = (jnp.concatenate([h_att, ctx], axis=-1).astype(cd) @ wp
+             + bp).astype(f32)
+        new_hd = []
+        for (wg_i, bg_i, wc_i, bc_i), h_prev in zip(grus, h_dec):
+            h_i = gru_step(h_prev, h, wg_i, bg_i, wc_i, bc_i)
+            h = h + h_i
+            new_hd.append(h_i)
+        return (h_att, ctx, tuple(new_hd)), (h, align)
+
+    if cfg.remat_decoder:
+        step = jax.checkpoint(step, prevent_cse=False)
+
+    carry0 = (
+        jnp.zeros((b, cfg.attention_gru_dim), f32),
+        jnp.zeros((b, m_dim), f32),
+        tuple(jnp.zeros((b, cfg.decoder_gru_dim), f32)
+              for _ in range(cfg.decoder_depth)),
+    )
+    _, (hs, aligns) = jax.lax.scan(
+        step, carry0, (gx.swapaxes(0, 1), cx.swapaxes(0, 1)))
+
+    # ---- hoisted output projection: one (S*B, d) matmul after the scan ----
+    frames = (hs.astype(cd) @ wf + bf).astype(f32)      # (S, B, r*n_mels)
+    mel = frames.swapaxes(0, 1).reshape(b, s * cfg.r, cfg.n_mels)
+    return mel, aligns.swapaxes(0, 1)
+
+
 class Decoder(nn.Module):
     """Scan DecoderCell over decoder steps.
 
@@ -136,6 +257,14 @@ class Decoder(nn.Module):
             shifted = jnp.concatenate(
                 [jnp.zeros_like(last_of_group[:, :1]), last_of_group[:, :-1]], axis=1
             )
+            if cfg.tf_decoder == "hoisted" and not self.is_initializing():
+                # Raw-scan fast path on the SAME param pytree the scanned
+                # cell owns (created at init through the cell path below).
+                rng = (self.make_rng("dropout")
+                       if cfg.prenet_dropout > 0.0 else None)
+                return _hoisted_teacher_forced(
+                    self.variables["params"]["cell"], cfg, shifted,
+                    keys, memory, mask, rng)
             frames_in = shifted.swapaxes(0, 1)  # (n_steps, B, n_mels)
             frame_axis = 0
             length = None
