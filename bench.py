@@ -52,6 +52,9 @@ def main():
     p.add_argument("--remat", action=argparse.BooleanOptionalAction, default=True,
                    help="remat the decoder scan (fits bigger batches in HBM; "
                         "measured optimal with batch 256 on v5e)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, e.g. --set model.tf_decoder=hoisted")
     args = p.parse_args()
 
     import jax
@@ -64,7 +67,7 @@ def main():
 
     enable_compilation_cache()
 
-    from tacotron_tpu.config import get_config
+    from tacotron_tpu.config import apply_overrides, get_config
     from tacotron_tpu.parallel import make_mesh, shard_batch
     from tacotron_tpu.train.step import create_train_state, make_train_step
 
@@ -76,6 +79,7 @@ def main():
                                   remat_decoder=args.remat),
         train=dataclasses.replace(cfg.train, batch_size=args.batch),
     )
+    cfg = apply_overrides(cfg, args.overrides)
     n_chips = len(jax.devices())
 
     if args.metric == "synth":

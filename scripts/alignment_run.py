@@ -34,17 +34,10 @@ import numpy as np
 
 
 def monotonicity(align: np.ndarray, text_len: int, frame_steps: int) -> dict:
-    """align: (dec_steps, T_in) one utterance. Scores over the active region."""
-    a = align[:frame_steps, :text_len]
-    pos = a.argmax(axis=-1).astype(np.float64)
-    steps = np.arange(len(pos), dtype=np.float64)
-    fwd = np.diff(pos) >= -1.0          # tolerance: 1 encoder position
-    corr = float(np.corrcoef(steps, pos)[0, 1]) if pos.std() > 0 else 0.0
-    return {
-        "monotonic_frac": float(fwd.mean()),
-        "diag_corr": corr,
-        "span_frac": float((np.unique(pos).size) / text_len),
-    }
+    """Shared scorer (also used by tests/unit/test_alignment_artifact.py)."""
+    from tacotron_tpu.utils.metrics import alignment_scores
+
+    return alignment_scores(align, text_len, frame_steps)
 
 
 def entropy(align: np.ndarray) -> float:

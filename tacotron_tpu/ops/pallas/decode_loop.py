@@ -117,11 +117,19 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
     keep_threshold = jnp.uint32(min(int(keep_prob * 2.0**32), 2**32 - 1))
     keep_scale = 1.0 / keep_prob if keep_prob > 0 else 0.0
     def kernel(seed_ref, memory_ref, keys_ref, maskbias_ref, *refs):
+        # Outputs live in HBM (pl.ANY): per-step results are staged in two
+        # small VMEM slots and streamed out with double-buffered async DMA,
+        # so the (n_steps, bt, ·) output arrays never occupy VMEM — that VMEM
+        # headroom is what lets the batch tile grow (BASELINE.md r2 item:
+        # "multi-utterance interleaved schedule" — more rows per step is the
+        # latency-bound win).
         if collect_aligns:
-            *w_refs, frames_ref, align_ref, h_att, h0, h1, ctx, prev = refs
+            (*w_refs, frames_ref, align_ref, h_att, h0, h1, ctx, prev,
+             fstage, astage, fsem, asem) = refs
         else:
-            *w_refs, frames_ref, h_att, h0, h1, ctx, prev = refs
-            align_ref = None
+            (*w_refs, frames_ref, h_att, h0, h1, ctx, prev,
+             fstage, fsem) = refs
+            align_ref = astage = asem = None
         w = DecoderWeights(*[ref[:] for ref in w_refs])
         if dropout:
             # per-tile seed (decorrelated outside via seed + tile_index)
@@ -149,7 +157,19 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
 
         wd = w.p_w0.dtype  # storage dtype (bf16 on the fast path)
 
+        def out_dma(stage, sem, hbm, slot, t):
+            return pltpu.make_async_copy(stage.at[slot], hbm.at[t], sem.at[slot])
+
         def step(t, _):
+            slot = jax.lax.rem(t, 2)
+
+            # the DMA issued from this slot two steps ago must land before
+            # the slot is overwritten
+            @pl.when(t >= 2)
+            def _():
+                out_dma(fstage, fsem, frames_ref, slot, t - 2).wait()
+                if collect_aligns:
+                    out_dma(astage, asem, align_ref, slot, t - 2).wait()
             # prenet (dropout active, paper §3.2)
             x = jnp.maximum(
                 jnp.dot(prev[:].astype(wd), w.p_w0,
@@ -183,7 +203,8 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
             prod = alpha.reshape(b, t_in, 1).astype(memory_ref.dtype) * memory_ref[:]
             ctx[:] = prod.sum(axis=1, dtype=jnp.float32)
             if collect_aligns:
-                align_ref[t] = alpha
+                astage[slot] = alpha
+                out_dma(astage, asem, align_ref, slot, t).start()
 
             h = jnp.dot(jnp.concatenate([h_att[:], ctx[:]], axis=-1).astype(wd),
                         w.ip_w, preferred_element_type=jnp.float32) \
@@ -198,11 +219,19 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
             frames = jnp.dot(h.astype(wd), w.f_w,
                              preferred_element_type=jnp.float32) \
                 + w.f_b.astype(jnp.float32)
-            frames_ref[t] = frames
+            fstage[slot] = frames
+            out_dma(fstage, fsem, frames_ref, slot, t).start()
             prev[:] = frames[:, (r - 1) * n_mels :]
             return 0
 
         jax.lax.fori_loop(0, n_steps, step, 0)
+
+        # drain the last (up to) two in-flight copies per stream; n_steps and
+        # the slot indices are static Python ints here
+        for t_last in range(max(0, n_steps - 2), n_steps):
+            out_dma(fstage, fsem, frames_ref, t_last % 2, t_last).wait()
+            if collect_aligns:
+                out_dma(astage, asem, align_ref, t_last % 2, t_last).wait()
 
     return kernel
 
@@ -267,11 +296,29 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
     kernel = _make_kernel(n_steps, n_mels, r, dropout, collect_alignments,
                           dropout_rate=dropout_rate)
 
+    # Outputs in HBM (ANY): streamed from two-slot VMEM stages by async DMA
+    # inside the kernel — VMEM then only holds memory/keys/weights/state, so
+    # the batch tile can grow (the latency-bound win: more rows per step).
     out_shape = [jax.ShapeDtypeStruct((n_steps, bt, r_nm), jnp.float32)]
-    out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
     if collect_alignments:
         out_shape.append(jax.ShapeDtypeStruct((n_steps, bt, t_in), jnp.float32))
-        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+
+    scratch_shapes = [
+        pltpu.VMEM((bt, att_dim), jnp.float32),   # h_att
+        pltpu.VMEM((bt, dec_dim), jnp.float32),   # h0
+        pltpu.VMEM((bt, dec_dim), jnp.float32),   # h1
+        pltpu.VMEM((bt, mem_dim), jnp.float32),   # context
+        pltpu.VMEM((bt, n_mels), jnp.float32),    # prev frame
+        pltpu.VMEM((2, bt, r_nm), jnp.float32),   # frame DMA stage (2 slots)
+    ]
+    if collect_alignments:
+        scratch_shapes.insert(6, pltpu.VMEM((2, bt, t_in), jnp.float32))
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))   # frame sem
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))   # align sem
+    else:
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))   # frame sem
 
     call = pl.pallas_call(
         kernel,
@@ -281,13 +328,7 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + len(w_list))
         ),
         out_specs=tuple(out_specs),
-        scratch_shapes=[
-            pltpu.VMEM((bt, att_dim), jnp.float32),   # h_att
-            pltpu.VMEM((bt, dec_dim), jnp.float32),   # h0
-            pltpu.VMEM((bt, dec_dim), jnp.float32),   # h1
-            pltpu.VMEM((bt, mem_dim), jnp.float32),   # context
-            pltpu.VMEM((bt, n_mels), jnp.float32),    # prev frame
-        ],
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )
 

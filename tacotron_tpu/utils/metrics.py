@@ -40,6 +40,28 @@ def plot_alignment(alignment: np.ndarray, title: str = "") -> np.ndarray:
     return np.asarray(PIL.Image.open(buf).convert("RGB"))
 
 
+def alignment_scores(align: np.ndarray, text_len: int,
+                     frame_steps: int) -> dict:
+    """Monotonicity metrics of one utterance's attention map.
+
+    ``align``: (dec_steps, T_in). Scored over the active region only.
+    Returns monotonic_frac (fraction of adjacent decoder steps whose attention
+    argmax does not move backwards, tolerance 1 encoder position), diag_corr
+    (Pearson r between argmax position and decoder step — 1.0 is a perfect
+    diagonal, the reference's de-facto training health check, SURVEY.md §4.1),
+    and span_frac (fraction of encoder positions ever attended)."""
+    a = np.asarray(align)[:frame_steps, :text_len]
+    pos = a.argmax(axis=-1).astype(np.float64)
+    steps = np.arange(len(pos), dtype=np.float64)
+    fwd = np.diff(pos) >= -1.0
+    corr = float(np.corrcoef(steps, pos)[0, 1]) if pos.std() > 0 else 0.0
+    return {
+        "monotonic_frac": float(fwd.mean()),
+        "diag_corr": corr,
+        "span_frac": float(np.unique(pos).size / text_len),
+    }
+
+
 class SummaryWriter:
     """Thin tensorboardX wrapper; silently no-ops on non-primary hosts."""
 
