@@ -75,8 +75,13 @@ def main():
     cfg = dataclasses.replace(
         cfg,
         audio=dataclasses.replace(cfg.audio, gl_momentum=args.gl_momentum),
+        # default = the measured-best v5e training recipe (BASELINE.md):
+        # hoisted teacher-forced decoder + bf16 compute. Parity mode:
+        # --set model.tf_decoder=scan --set model.compute_dtype=float32
         model=dataclasses.replace(cfg.model, vocab_size=64,
-                                  remat_decoder=args.remat),
+                                  remat_decoder=args.remat,
+                                  tf_decoder="hoisted",
+                                  compute_dtype="bfloat16"),
         train=dataclasses.replace(cfg.train, batch_size=args.batch),
     )
     cfg = apply_overrides(cfg, args.overrides)

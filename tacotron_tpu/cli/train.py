@@ -54,6 +54,14 @@ def main(argv=None):
                    help="config override, repeatable — e.g. "
                         "--set model.tf_decoder=hoisted "
                         "--set model.compute_dtype=bfloat16")
+    p.add_argument("--profile-port", type=int, default=0,
+                   help="start a jax.profiler server on this port for live "
+                        "capture via TensorBoard's profile plugin (SURVEY.md "
+                        "§5.1); 0 = off")
+    p.add_argument("--trace-steps", default=None, metavar="FIRST:LAST",
+                   help="capture a device trace spanning these steps "
+                        "(inclusive) into RUN_DIR/trace — view in "
+                        "TensorBoard/Perfetto; e.g. --trace-steps 40:45")
     args = p.parse_args(argv)
 
     import jax
@@ -78,9 +86,14 @@ def main(argv=None):
     from tacotron_tpu.train import checkpoint
     from tacotron_tpu.train.step import TrainState, create_train_state, make_train_step
     from tacotron_tpu.utils import SummaryWriter
-    from tacotron_tpu.utils.profiling import enable_compilation_cache
+    from tacotron_tpu.utils import profiling
 
-    enable_compilation_cache()
+    profiling.enable_compilation_cache()
+    if args.profile_port:
+        profiling.start_server(args.profile_port)
+    trace_first = trace_last = -1
+    if args.trace_steps:
+        trace_first, trace_last = (int(x) for x in args.trace_steps.split(":"))
 
     cfg = get_config(args.preset)
     ds = Dataset(args.data_dir)
@@ -140,6 +153,8 @@ def main(argv=None):
     eval_synth = None
     with mesh:
         while step < cfg.train.max_steps:
+            if step + 1 == trace_first:
+                jax.profiler.start_trace(os.path.join(args.run_dir, "trace"))
             b = next(it)
             if args.debug_sync and (step + 1) % cfg.train.summary_every == 0:
                 multihost.assert_same_step(step)
@@ -152,6 +167,10 @@ def main(argv=None):
             )
             state, metrics, alignments = step_fn(state, *arrays)
             step += 1
+            if step == trace_last:
+                profiling.force(metrics["total_loss"])  # drain before stop
+                jax.profiler.stop_trace()
+                print(f"trace written: {os.path.join(args.run_dir, 'trace')}")
             frames_since += b.mel.shape[0] * b.mel.shape[1] * jax.process_count()
 
             if step % cfg.train.summary_every == 0:

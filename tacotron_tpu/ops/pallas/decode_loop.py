@@ -111,25 +111,32 @@ def _gru_step(h, x, wgx, bg, wgh, wcx, bc, wch):
 
 
 def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
-                 collect_aligns: bool, dropout_rate: float = 0.5):
-    # threshold compare on uint32 PRNG bits: keep iff bits < keep_prob * 2^32
+                 collect_aligns: bool, dropout_rate: float = 0.5,
+                 t_in_pad: int | None = None):
+    # threshold compare on uint32 PRNG bits: keep iff bits < keep_prob * 2^32.
+    # numpy scalar, NOT jnp: a jnp constant would be a captured traced array,
+    # which pallas_call rejects on the TPU (non-interpret) path.
+    import numpy as np
     keep_prob = 1.0 - dropout_rate
-    keep_threshold = jnp.uint32(min(int(keep_prob * 2.0**32), 2**32 - 1))
+    keep_threshold = np.uint32(min(int(keep_prob * 2.0**32), 2**32 - 1))
     keep_scale = 1.0 / keep_prob if keep_prob > 0 else 0.0
     def kernel(seed_ref, memory_ref, keys_ref, maskbias_ref, *refs):
-        # Outputs live in HBM (pl.ANY): per-step results are staged in two
+        # Outputs live in HBM: per-step results are staged in two
         # small VMEM slots and streamed out with double-buffered async DMA,
         # so the (n_steps, bt, ·) output arrays never occupy VMEM — that VMEM
         # headroom is what lets the batch tile grow (BASELINE.md r2 item:
         # "multi-utterance interleaved schedule" — more rows per step is the
         # latency-bound win).
+        # Two SEPARATE single-slot stages per stream (not one (2, bt, ·)
+        # buffer): Mosaic cannot DMA-slice a tiled VMEM memref whose lane dim
+        # (r*n_mels = 160) is not 128-aligned, but whole-ref copies are fine.
         if collect_aligns:
             (*w_refs, frames_ref, align_ref, h_att, h0, h1, ctx, prev,
-             fstage, astage, fsem, asem) = refs
+             fstage0, fstage1, astage0, astage1, fsem, asem) = refs
         else:
             (*w_refs, frames_ref, h_att, h0, h1, ctx, prev,
-             fstage, fsem) = refs
-            align_ref = astage = asem = None
+             fstage0, fstage1, fsem) = refs
+            align_ref = astage0 = astage1 = asem = None
         w = DecoderWeights(*[ref[:] for ref in w_refs])
         if dropout:
             # per-tile seed (decorrelated outside via seed + tile_index)
@@ -157,19 +164,24 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
 
         wd = w.p_w0.dtype  # storage dtype (bf16 on the fast path)
 
-        def out_dma(stage, sem, hbm, slot, t):
-            return pltpu.make_async_copy(stage.at[slot], hbm.at[t], sem.at[slot])
+        def out_dma(stage, sem, sem_i, hbm, t):
+            return pltpu.make_async_copy(stage, hbm.at[t], sem.at[sem_i])
+
+        f_stages = (fstage0, fstage1)
+        a_stages = (astage0, astage1)
 
         def step(t, _):
-            slot = jax.lax.rem(t, 2)
+            even = jax.lax.rem(t, 2) == 0
 
-            # the DMA issued from this slot two steps ago must land before
-            # the slot is overwritten
-            @pl.when(t >= 2)
-            def _():
-                out_dma(fstage, fsem, frames_ref, slot, t - 2).wait()
-                if collect_aligns:
-                    out_dma(astage, asem, align_ref, slot, t - 2).wait()
+            # the DMA issued from this parity's stage two steps ago must land
+            # before the stage is overwritten
+            for par, is_par in ((0, even), (1, jnp.logical_not(even))):
+                @pl.when(jnp.logical_and(t >= 2, is_par))
+                def _(par=par):
+                    out_dma(f_stages[par], fsem, par, frames_ref, t - 2).wait()
+                    if collect_aligns:
+                        out_dma(a_stages[par], asem, par, align_ref,
+                                t - 2).wait()
             # prenet (dropout active, paper §3.2)
             x = jnp.maximum(
                 jnp.dot(prev[:].astype(wd), w.p_w0,
@@ -203,8 +215,15 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
             prod = alpha.reshape(b, t_in, 1).astype(memory_ref.dtype) * memory_ref[:]
             ctx[:] = prod.sum(axis=1, dtype=jnp.float32)
             if collect_aligns:
-                astage[slot] = alpha
-                out_dma(astage, asem, align_ref, slot, t).start()
+                alpha_out = alpha
+                if t_in_pad is not None and t_in_pad != t_in:
+                    alpha_out = jnp.pad(alpha,
+                                        ((0, 0), (0, t_in_pad - t_in)))
+                for par, is_par in ((0, even), (1, jnp.logical_not(even))):
+                    @pl.when(is_par)
+                    def _(par=par):
+                        a_stages[par][:] = alpha_out
+                        out_dma(a_stages[par], asem, par, align_ref, t).start()
 
             h = jnp.dot(jnp.concatenate([h_att[:], ctx[:]], axis=-1).astype(wd),
                         w.ip_w, preferred_element_type=jnp.float32) \
@@ -219,19 +238,24 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
             frames = jnp.dot(h.astype(wd), w.f_w,
                              preferred_element_type=jnp.float32) \
                 + w.f_b.astype(jnp.float32)
-            fstage[slot] = frames
-            out_dma(fstage, fsem, frames_ref, slot, t).start()
-            prev[:] = frames[:, (r - 1) * n_mels :]
+            for par, is_par in ((0, even), (1, jnp.logical_not(even))):
+                @pl.when(is_par)
+                def _(par=par):
+                    f_stages[par][:] = frames
+                    out_dma(f_stages[par], fsem, par, frames_ref, t).start()
+            # explicit upper bound: f_w may be lane-padded past r*n_mels
+            prev[:] = frames[:, (r - 1) * n_mels : r * n_mels]
             return 0
 
         jax.lax.fori_loop(0, n_steps, step, 0)
 
         # drain the last (up to) two in-flight copies per stream; n_steps and
-        # the slot indices are static Python ints here
+        # the stage parities are static Python ints here
         for t_last in range(max(0, n_steps - 2), n_steps):
-            out_dma(fstage, fsem, frames_ref, t_last % 2, t_last).wait()
+            par = t_last % 2
+            out_dma(f_stages[par], fsem, par, frames_ref, t_last).wait()
             if collect_aligns:
-                out_dma(astage, asem, align_ref, t_last % 2, t_last).wait()
+                out_dma(a_stages[par], asem, par, align_ref, t_last).wait()
 
     return kernel
 
@@ -273,9 +297,10 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
     elif not lowp:
         bt = min(b, 8)
     else:
-        # measured on v5e: bt=16 beats bt=32 (VMEM pressure at 32 outweighs
-        # the halved tile count) — see BASELINE.md kernel notes
-        bt = min(b, 16)
+        # measured on v5e with HBM-streamed outputs (r2): bt=32 beats bt=16
+        # (8.07 vs 9.50 ms at B32/T128/200 steps) — the step is latency-bound,
+        # so more rows per step win once the outputs no longer occupy VMEM
+        bt = min(b, 32)
     if b % bt != 0:
         pad = bt - b % bt
         memory = jnp.pad(memory, ((0, pad), (0, 0), (0, 0)))
@@ -292,18 +317,29 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
         if mask is not None else jnp.zeros((b_padded, t_in), jnp.float32)
     )
 
+    # DMA slice shapes must be lane-aligned (128); r*n_mels = 160 is not, so
+    # the frame projection is zero-padded to the next lane multiple and the
+    # pad is sliced off after the call (same for alignments when T_in is
+    # unaligned). Zero columns cost nothing on the MXU.
+    r_nm_pad = -(-r_nm // 128) * 128
+    t_in_pad = -(-t_in // 128) * 128
+    if r_nm_pad != r_nm:
+        weights = weights._replace(
+            f_w=jnp.pad(weights.f_w, ((0, 0), (0, r_nm_pad - r_nm))),
+            f_b=jnp.pad(weights.f_b, (0, r_nm_pad - r_nm)))
     w_list = [x.astype(sdtype) for x in weights]
     kernel = _make_kernel(n_steps, n_mels, r, dropout, collect_alignments,
-                          dropout_rate=dropout_rate)
+                          dropout_rate=dropout_rate, t_in_pad=t_in_pad)
 
-    # Outputs in HBM (ANY): streamed from two-slot VMEM stages by async DMA
+    # Outputs pinned to HBM: streamed from two-slot VMEM stages by async DMA
     # inside the kernel — VMEM then only holds memory/keys/weights/state, so
     # the batch tile can grow (the latency-bound win: more rows per step).
-    out_shape = [jax.ShapeDtypeStruct((n_steps, bt, r_nm), jnp.float32)]
-    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_shape = [jax.ShapeDtypeStruct((n_steps, bt, r_nm_pad), jnp.float32)]
+    out_specs = [pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM)]
     if collect_alignments:
-        out_shape.append(jax.ShapeDtypeStruct((n_steps, bt, t_in), jnp.float32))
-        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_steps, bt, t_in_pad), jnp.float32))
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM))
 
     scratch_shapes = [
         pltpu.VMEM((bt, att_dim), jnp.float32),   # h_att
@@ -311,10 +347,12 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
         pltpu.VMEM((bt, dec_dim), jnp.float32),   # h1
         pltpu.VMEM((bt, mem_dim), jnp.float32),   # context
         pltpu.VMEM((bt, n_mels), jnp.float32),    # prev frame
-        pltpu.VMEM((2, bt, r_nm), jnp.float32),   # frame DMA stage (2 slots)
+        pltpu.VMEM((bt, r_nm_pad), jnp.float32),  # frame DMA stage, parity 0
+        pltpu.VMEM((bt, r_nm_pad), jnp.float32),  # frame DMA stage, parity 1
     ]
     if collect_alignments:
-        scratch_shapes.insert(6, pltpu.VMEM((2, bt, t_in), jnp.float32))
+        scratch_shapes.append(pltpu.VMEM((bt, t_in_pad), jnp.float32))  # al st0
+        scratch_shapes.append(pltpu.VMEM((bt, t_in_pad), jnp.float32))  # al st1
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))   # frame sem
         scratch_shapes.append(pltpu.SemaphoreType.DMA((2,)))   # align sem
     else:
@@ -343,9 +381,11 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
         return call(s, m, k, mb, *w_list)
 
     outs = jax.lax.map(one_tile, (seeds, mem_t, keys_t, bias_t))
-    # (n_tiles, n_steps, bt, ·) -> (B, n_steps, ·)
-    frames = outs[0].transpose(0, 2, 1, 3).reshape(b_padded, n_steps, r_nm)
+    # (n_tiles, n_steps, bt, ·) -> (B, n_steps, ·); drop the lane padding
+    frames = outs[0][..., :r_nm].transpose(0, 2, 1, 3) \
+        .reshape(b_padded, n_steps, r_nm)
     if not collect_alignments:
         return frames[:b], None
-    aligns = outs[1].transpose(0, 2, 1, 3).reshape(b_padded, n_steps, t_in)
+    aligns = outs[1][..., :t_in].transpose(0, 2, 1, 3) \
+        .reshape(b_padded, n_steps, t_in)
     return frames[:b], aligns[:b]

@@ -47,11 +47,14 @@ def test_train_cli_and_resume(workdir):
         "--preset", "tiny_cpu", "--batch-size", "4", "--num-buckets", "1",
         "--summary-every", "5", "--checkpoint-every", "5",
     ]
-    out = _run(args + ["--steps", "10"])
+    out = _run(args + ["--steps", "10", "--trace-steps", "4:6"])
     last = json.loads(out.strip().splitlines()[-1])
     assert last == {"done": True, "step": 10}
-    # resume picks up at 10 and runs to 12
-    out = _run(args + ["--steps", "12"])
+    # profiler trace captured around steps 4-6 (SURVEY.md §5.1)
+    assert "trace written" in out
+    assert os.path.isdir(os.path.join(str(workdir / "run"), "trace"))
+    # resume picks up at 10 and runs to 12; --set override applies
+    out = _run(args + ["--steps", "12", "--set", "model.tf_decoder=hoisted"])
     assert "resumed from step 10" in out
     assert json.loads(out.strip().splitlines()[-1])["step"] == 12
 

@@ -123,3 +123,20 @@ class TestConfig:
         from tacotron_tpu.config import PRESETS
         assert set(PRESETS) == {"tiny_cpu", "cbhg_parity", "full_1chip",
                                 "synth_gl1000", "pod_dp"}
+
+    def test_apply_overrides(self):
+        import pytest
+        from tacotron_tpu.config import apply_overrides, get_config
+        cfg = get_config("tiny_cpu")
+        cfg = apply_overrides(cfg, ["model.tf_decoder=hoisted",
+                                    "train.batch_size=64",
+                                    "audio.gl_momentum=0.99",
+                                    "model.prenet_dims=[64, 32]"])
+        assert cfg.model.tf_decoder == "hoisted"          # string passthrough
+        assert cfg.train.batch_size == 64                 # JSON int
+        assert cfg.audio.gl_momentum == 0.99              # JSON float
+        assert cfg.model.prenet_dims == (64, 32)          # list -> tuple
+        with pytest.raises(ValueError, match="unknown config field"):
+            apply_overrides(cfg, ["model.nonexistent=1"])
+        with pytest.raises(ValueError, match="section.key"):
+            apply_overrides(cfg, ["batch_size=64"])
