@@ -67,6 +67,24 @@ def main():
     results.append(KernelRoofline("griffin_lim_iteration(mm,bf16)", fl, byts,
                                   per_iter).report())
 
+    # ---- Griffin-Lim iteration (fused Pallas VMEM-resident kernel).
+    # Time at two iteration counts and difference out the fixed costs (final
+    # f32 iSTFT, init DMA) to isolate the per-iteration kernel cost.
+    from tacotron_tpu.dsp.pallas_gl import griffin_lim_pallas, _gl_plan
+
+    t_p100 = timed(lambda: griffin_lim_pallas(mag, **kw, n_iter=100), n=2)
+    t_p50 = timed(lambda: griffin_lim_pallas(mag, **kw, n_iter=50), n=2)
+    per_iter_p = (t_p100 - t_p50) / 50
+    plan = _gl_plan(kw["n_fft"], kw["hop_length"], kw["win_length"], frames)
+    # true MXU work of the hop-chunk factorisation (see pallas_gl._flops_iter):
+    # synthesis + analysis, m chunks, (frames, s_half) x (s_half, hop) each
+    fl_p = 4 * plan.f_pad * plan.m * plan.hop * plan.s * B
+    # HBM traffic amortises to ~zero: the spectrum carry lives in VMEM across
+    # all iterations; charge the one-time mag in + spectrum out over 50 iters
+    byts_p = B * plan.f_pad * plan.s_half * (4 + 2 * 2) / 50
+    results.append(KernelRoofline("griffin_lim_iteration(pallas,fused)", fl_p,
+                                  byts_p, per_iter_p).report())
+
     # ---- conv bank (packed single-conv form) fwd
     from tacotron_tpu.ops.modules import ConvBank
 

@@ -96,8 +96,12 @@ class _GLPlan:
     n_blocks: int               # blocked signal rows = f_pad + m - 1
     s_half: int                 # padded per-component spectral width
     s: int                      # 2 * s_half
-    e_cos: np.ndarray           # (hop, s_half) f32 cos(b_p k) shared matrix
-    e_msin: np.ndarray          # (hop, s_half) f32 -sin(b_p k)
+    e_cat: np.ndarray           # (hop, 2*s_half) f32 [cos(b_p k) | -sin(b_p k)]
+                                # one fused positional matrix: each direction's
+                                # cos/sin matmul PAIR becomes ONE wider MXU op
+                                # (half the per-op issue overhead; the synthesis
+                                # N dim is hop=275 -> padded 384, so op count,
+                                # not MACs, is the controllable cost)
     cos_a: np.ndarray           # (m, s_half) f32 cos(a_j k)
     sin_a: np.ndarray           # (m, s_half) f32 sin(a_j k)
     syn_c: np.ndarray           # (m, s_half) f32 cos(a_j k) * w_k/N
@@ -168,10 +172,9 @@ def _gl_plan(n_fft: int, hop: int, win_length: int, n_frames: int) -> _GLPlan:
     # shared positional matrix: b_p*k angles, p in [0, hop)
     p_idx = np.arange(hop)[:, None]
     ang_b = 2.0 * np.pi * p_idx * k / n_fft
-    e_cos = np.zeros((hop, s_half), np.float32)
-    e_msin = np.zeros((hop, s_half), np.float32)
-    e_cos[:, :n_bins] = np.cos(ang_b)
-    e_msin[:, :n_bins] = -np.sin(ang_b)
+    e_cat = np.zeros((hop, 2 * s_half), np.float32)
+    e_cat[:, :n_bins] = np.cos(ang_b)
+    e_cat[:, s_half:s_half + n_bins] = -np.sin(ang_b)
 
     # per-chunk twiddles: a_j*k angles
     j_idx = np.arange(m)[:, None]
@@ -211,7 +214,7 @@ def _gl_plan(n_fft: int, hop: int, win_length: int, n_frames: int) -> _GLPlan:
 
     p_mats, refl_rows, refl_masks = _reflect_plan(n_fft, hop, n_frames)
     return _GLPlan(n_fft, hop, win_length, n_frames, f_pad, m, n_blocks,
-                   s_half, s, e_cos, e_msin, cos_a, sin_a, syn_c, syn_s,
+                   s_half, s, e_cat, cos_a, sin_a, syn_c, syn_s,
                    win_chunks, invwss.reshape(n_blocks, hop),
                    p_mats, refl_rows, refl_masks)
 
@@ -221,7 +224,7 @@ _FRAME_TILE = 128   # frame rows per tile; bounds the VMEM value stack
 
 def _iteration_body(plan: _GLPlan, beta: float, mdtype,
                     src, prev, mag_at, dst, save_prev,
-                    ec_ref, em_ref, rots, win, invwss,
+                    ecat_ref, rots, win, invwss,
                     p_ref, mask_ref, y_scr, yp_scr):
     """One Griffin-Lim projection on VMEM-resident refs, frame-tiled.
 
@@ -255,18 +258,15 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
             re32 = re32 + beta * (re32 - pre.astype(jnp.float32))
             im32 = im32 + beta * (im32 - pim.astype(jnp.float32))
         for j in range(m):
-            rot_re = (re32 * syn_c[j:j + 1]
-                      - im32 * syn_s[j:j + 1]).astype(mdtype)
-            rot_im = (re32 * syn_s[j:j + 1]
-                      + im32 * syn_c[j:j + 1]).astype(mdtype)
-            chunk = (
-                jax.lax.dot_general(rot_re, ec_ref[:],
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(rot_im, em_ref[:],
-                                      (((1,), (1,)), ((), ())),
-                                      preferred_element_type=jnp.float32)
-            )                                         # (ft, hop)
+            # [rot_re | rot_im] (ft, 2*s_half) against the fused positional
+            # matrix: ONE MXU op per chunk instead of a cos+sin pair
+            rot2 = jnp.concatenate(
+                [(re32 * syn_c[j:j + 1] - im32 * syn_s[j:j + 1]),
+                 (re32 * syn_s[j:j + 1] + im32 * syn_c[j:j + 1])],
+                axis=1).astype(mdtype)
+            chunk = jax.lax.dot_general(
+                rot2, ecat_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (ft, hop)
             y_scr[j + t0:j + t0 + ft] += chunk * win[j:j + 1, :]
 
     # ---- window-sum-square normalise (edges included, matching istft)
@@ -295,8 +295,9 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
         for j in range(m):
             seg = (yp_scr[j + t0:j + t0 + ft, :] * win[j:j + 1, :]
                    ).astype(mdtype)
-            cs_c = jnp.dot(seg, ec_ref[:], preferred_element_type=jnp.float32)
-            cs_m = jnp.dot(seg, em_ref[:], preferred_element_type=jnp.float32)
+            # one (ft, hop) x (hop, 2*s_half) op; split the aligned halves
+            cs = jnp.dot(seg, ecat_ref[:], preferred_element_type=jnp.float32)
+            cs_c, cs_m = cs[:, :plan.s_half], cs[:, plan.s_half:]
             acc_re = acc_re + (cs_c * cos_a[j:j + 1] + cs_m * sin_a[j:j + 1])
             acc_im = acc_im + (cs_m * cos_a[j:j + 1] - cs_c * sin_a[j:j + 1])
         # f32 projection, matching griffin_lim_mm
@@ -313,8 +314,7 @@ def _const_specs(plan: _GLPlan):
                             memory_space=pltpu.VMEM)
 
     return [
-        const_spec(plan.e_cos.shape),
-        const_spec(plan.e_msin.shape),
+        const_spec(plan.e_cat.shape),
         const_spec(plan.cos_a.shape),
         const_spec(plan.sin_a.shape),
         const_spec(plan.syn_c.shape),
@@ -347,11 +347,11 @@ def _make_gl_call_fused(plan: _GLPlan, batch: int, beta: float, n_iter: int,
 
     def kernel(*args):
         mag_hbm = args[0]
-        (ec_ref, em_ref, ca_ref, sa_ref, sc_ref, ss_ref, win_ref,
-         invwss_ref, p_ref, mask_ref) = args[1:11]
-        out_re_hbm, out_im_hbm = args[11:13]
-        (mag_scr, re_scr, im_scr) = args[13:16]
-        rest = args[16:]
+        (ecat_ref, ca_ref, sa_ref, sc_ref, ss_ref, win_ref,
+         invwss_ref, p_ref, mask_ref) = args[1:10]
+        out_re_hbm, out_im_hbm = args[10:12]
+        (mag_scr, re_scr, im_scr) = args[12:15]
+        rest = args[15:]
         if with_prev:
             pre_scr, pim_scr = rest[:2]
             rest = rest[2:]
@@ -393,7 +393,7 @@ def _make_gl_call_fused(plan: _GLPlan, batch: int, beta: float, n_iter: int,
         def body(_, carry):
             _iteration_body(
                 plan, beta, mdtype, src, prev, mag_at, dst, save_prev,
-                ec_ref, em_ref, rots, win, invwss, p_ref, mask_ref,
+                ecat_ref, rots, win, invwss, p_ref, mask_ref,
                 y_scr, yp_scr)
             return carry
 
@@ -458,10 +458,10 @@ def _make_gl_call(plan: _GLPlan, batch: int, mdtype=jnp.bfloat16,
 
     def kernel(*args):
         re_ref, im_ref, mag_ref = args[:3]
-        (ec_ref, em_ref, ca_ref, sa_ref, sc_ref, ss_ref, win_ref,
-         invwss_ref, p_ref, mask_ref) = args[3:13]
-        out_re, out_im = args[13:15]
-        y_scr, yp_scr = args[15:]
+        (ecat_ref, ca_ref, sa_ref, sc_ref, ss_ref, win_ref,
+         invwss_ref, p_ref, mask_ref) = args[3:12]
+        out_re, out_im = args[12:14]
+        y_scr, yp_scr = args[14:]
 
         rots = (ca_ref[:], sa_ref[:], sc_ref[:], ss_ref[:])
 
@@ -480,7 +480,7 @@ def _make_gl_call(plan: _GLPlan, batch: int, mdtype=jnp.bfloat16,
 
         _iteration_body(
             plan, 0.0, mdtype, src, None, mag_at, dst, noop,
-            ec_ref, em_ref, rots, win_ref[:], invwss_ref[:],
+            ecat_ref, rots, win_ref[:], invwss_ref[:],
             p_ref, mask_ref, y_scr, yp_scr)
 
     half = pl.BlockSpec((1, f, s_half), lambda b: (b, 0, 0),
@@ -540,8 +540,7 @@ def griffin_lim_pallas(magnitude: jax.Array, *, n_fft: int, hop_length: int,
     im0 = jnp.zeros((b, plan.f_pad, plan.s_half), mdtype)
 
     consts = (
-        jnp.asarray(plan.e_cos, mdtype),
-        jnp.asarray(plan.e_msin, mdtype),
+        jnp.asarray(plan.e_cat, mdtype),
         jnp.asarray(plan.cos_a),
         jnp.asarray(plan.sin_a),
         jnp.asarray(plan.syn_c),

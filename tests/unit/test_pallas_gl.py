@@ -78,13 +78,14 @@ def test_plan_transform_matches_stft():
     re_s[:f, :n_bins] = re
     im_s[:f, :n_bins] = im
 
-    # synthesis (wn folded into syn_c/syn_s)
+    # synthesis (wn folded into syn_c/syn_s); e_cat = [cos | -sin] fused
+    e_cos, e_msin = plan.e_cat[:, :sh], plan.e_cat[:, sh:]
     y = np.zeros((plan.n_blocks, plan.hop), np.float32)
     win = plan.win_chunks
     for j in range(plan.m):
         rot_re = re_s * plan.syn_c[j] - im_s * plan.syn_s[j]
         rot_im = re_s * plan.syn_s[j] + im_s * plan.syn_c[j]
-        chunk = rot_re @ plan.e_cos.T + rot_im @ plan.e_msin.T
+        chunk = rot_re @ e_cos.T + rot_im @ e_msin.T
         y[j:j + fp] += chunk * win[j]
     yn = y * plan.invwss
     # reflect
@@ -99,8 +100,8 @@ def test_plan_transform_matches_stft():
     acc_im = np.zeros((fp, sh), np.float32)
     for j in range(plan.m):
         seg = yn[j:j + fp] * win[j]
-        cs_c = seg @ plan.e_cos
-        cs_m = seg @ plan.e_msin
+        cs_c = seg @ e_cos
+        cs_m = seg @ e_msin
         acc_re += cs_c * plan.cos_a[j] + cs_m * plan.sin_a[j]
         acc_im += cs_m * plan.cos_a[j] - cs_c * plan.sin_a[j]
 
