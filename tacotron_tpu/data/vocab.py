@@ -37,7 +37,16 @@ class Vocab:
         return Vocab(mapping)
 
     def encode(self, text: str) -> np.ndarray:
+        """Text -> ids. OOV characters are dropped (the vocab is closed at
+        preprocess time), but LOUDLY: silent drops at synthesis time made
+        prompts shrink with no explanation."""
         t = normalize_text(text)
+        oov = sorted({c for c in t if c not in self.char_to_id})
+        if oov:
+            import warnings
+            warnings.warn(
+                f"vocab: dropping {len(oov)} out-of-vocabulary character(s) "
+                f"{oov!r} from prompt {t[:40]!r}", stacklevel=2)
         return np.array([self.char_to_id[c] for c in t if c in self.char_to_id],
                         dtype=np.int32)
 

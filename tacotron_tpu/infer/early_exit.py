@@ -66,8 +66,8 @@ def decode_while(memory, keys, mask, w: DecoderWeights, rng, *, n_steps: int,
     early and the output equals the fixed-length scan's (the parity test).
     """
     b, t_in, _ = memory.shape
-    ag_dim = w.ag_wgh.shape[0]
-    d_dim = w.d0_wgh.shape[0]
+    ag_dim = w.ag_wg.shape[1] // 2
+    d_dim = w.d0_wg.shape[1] // 2
     mem_dim = memory.shape[-1]
     scores_bias = jnp.where(mask, 0.0, NEG_INF)                # (B, T_in)
 
@@ -85,19 +85,16 @@ def decode_while(memory, keys, mask, w: DecoderWeights, rng, *, n_steps: int,
             x = x * jax.random.bernoulli(k1, keep, x.shape) / keep
 
         h_att = _gru_step(h_att, jnp.concatenate([x, context], -1),
-                          w.ag_wgx, w.ag_bg, w.ag_wgh,
-                          w.ag_wcx, w.ag_bc, w.ag_wch)
+                          w.ag_wg, w.ag_bg, w.ag_wc, w.ag_bc)
         q = h_att @ w.at_wq                                    # (B, attn_dim)
         scores = jnp.squeeze(jnp.tanh(keys + q[:, None, :]) @ w.at_v, -1)
         align = jax.nn.softmax(scores + scores_bias, axis=-1)  # (B, T_in)
         context = jnp.einsum("bt,btd->bd", align, memory)
 
         h = jnp.concatenate([h_att, context], -1) @ w.ip_w + w.ip_b
-        h0 = _gru_step(h0, h, w.d0_wgx, w.d0_bg, w.d0_wgh,
-                       w.d0_wcx, w.d0_bc, w.d0_wch)
+        h0 = _gru_step(h0, h, w.d0_wg, w.d0_bg, w.d0_wc, w.d0_bc)
         h = h + h0
-        h1 = _gru_step(h1, h, w.d1_wgx, w.d1_bg, w.d1_wgh,
-                       w.d1_wcx, w.d1_bc, w.d1_wch)
+        h1 = _gru_step(h1, h, w.d1_wg, w.d1_bg, w.d1_wc, w.d1_bc)
         h = h + h1
 
         frames = h @ w.f_w + w.f_b                             # (B, r*n_mels)

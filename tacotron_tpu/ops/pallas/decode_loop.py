@@ -32,18 +32,20 @@ NEG_INF = -1e9
 class DecoderWeights(NamedTuple):
     # prenet
     p_w0: jax.Array; p_b0: jax.Array; p_w1: jax.Array; p_b1: jax.Array
-    # attention GRU (fused TF1 layout: x-part and h-part separate)
-    ag_wgx: jax.Array; ag_bg: jax.Array; ag_wgh: jax.Array
-    ag_wcx: jax.Array; ag_bc: jax.Array; ag_wch: jax.Array
+    # attention GRU (ops/gru.GRUCell fused [x, h] row layout, kept fused:
+    # ONE gates dot and ONE candidate dot per step — the step is
+    # latency-bound, so sequential MXU op count is the cost that matters)
+    ag_wg: jax.Array; ag_bg: jax.Array
+    ag_wc: jax.Array; ag_bc: jax.Array
     # attention (query proj + energy vector)
     at_wq: jax.Array; at_v: jax.Array
     # decoder input projection
     ip_w: jax.Array; ip_b: jax.Array
     # two decoder GRUs
-    d0_wgx: jax.Array; d0_bg: jax.Array; d0_wgh: jax.Array
-    d0_wcx: jax.Array; d0_bc: jax.Array; d0_wch: jax.Array
-    d1_wgx: jax.Array; d1_bg: jax.Array; d1_wgh: jax.Array
-    d1_wcx: jax.Array; d1_bc: jax.Array; d1_wch: jax.Array
+    d0_wg: jax.Array; d0_bg: jax.Array
+    d0_wc: jax.Array; d0_bc: jax.Array
+    d1_wg: jax.Array; d1_bg: jax.Array
+    d1_wc: jax.Array; d1_bc: jax.Array
     # frame projection
     f_w: jax.Array; f_b: jax.Array
 
@@ -51,60 +53,48 @@ class DecoderWeights(NamedTuple):
 def pack_decoder_weights(params) -> DecoderWeights:
     """Flax param tree (decoder/cell/...) -> DecoderWeights.
 
-    ``params`` is variables["params"]["decoder"]["cell"]. GRU weights follow
-    ops/gru.GRUCell's fused [x, h] concat layout and are split here so the
-    kernel can keep h-side matmuls separate (state stays in registers/VMEM).
+    ``params`` is variables["params"]["decoder"]["cell"]. GRU weights keep
+    ops/gru.GRUCell's fused [x, h] concat row layout verbatim: the kernel
+    concatenates [x, h] on lanes (both 128-aligned) and runs one MXU dot per
+    gate set, instead of separate x-side and h-side dots.
     """
-    def split_gru(g, d_in):
-        wg = g["gates"]["kernel"]
-        wc = g["candidate"]["kernel"]
-        return (wg[:d_in], g["gates"]["bias"], wg[d_in:],
-                wc[:d_in], g["candidate"]["bias"], wc[d_in:])
+    def gru(g):
+        return (g["gates"]["kernel"], g["gates"]["bias"],
+                g["candidate"]["kernel"], g["candidate"]["bias"])
 
     pre = params["prenet"]
     att = params["attention"]
-    # fused GRU kernels have rows = d_in + d_hidden; d_hidden = gates_cols / 2
-    ag_dim = params["attention_gru"]["gates"]["kernel"].shape[1] // 2
-    ag = split_gru(params["attention_gru"],
-                   params["attention_gru"]["gates"]["kernel"].shape[0] - ag_dim)
-
-    d0_dim = params["decoder_gru0"]["gates"]["kernel"].shape[1] // 2
-    d0 = split_gru(params["decoder_gru0"],
-                   params["decoder_gru0"]["gates"]["kernel"].shape[0] - d0_dim)
-    d1_dim = params["decoder_gru1"]["gates"]["kernel"].shape[1] // 2
-    d1 = split_gru(params["decoder_gru1"],
-                   params["decoder_gru1"]["gates"]["kernel"].shape[0] - d1_dim)
+    ag = gru(params["attention_gru"])
+    d0 = gru(params["decoder_gru0"])
+    d1 = gru(params["decoder_gru1"])
 
     return DecoderWeights(
         p_w0=pre["fc0"]["kernel"], p_b0=pre["fc0"]["bias"],
         p_w1=pre["fc1"]["kernel"], p_b1=pre["fc1"]["bias"],
-        ag_wgx=ag[0], ag_bg=ag[1], ag_wgh=ag[2],
-        ag_wcx=ag[3], ag_bc=ag[4], ag_wch=ag[5],
+        ag_wg=ag[0], ag_bg=ag[1], ag_wc=ag[2], ag_bc=ag[3],
         at_wq=att["query"]["kernel"], at_v=att["v"],  # (dim, 1), kept 2-D for Mosaic
         ip_w=params["decoder_input_proj"]["kernel"],
         ip_b=params["decoder_input_proj"]["bias"],
-        d0_wgx=d0[0], d0_bg=d0[1], d0_wgh=d0[2],
-        d0_wcx=d0[3], d0_bc=d0[4], d0_wch=d0[5],
-        d1_wgx=d1[0], d1_bg=d1[1], d1_wgh=d1[2],
-        d1_wcx=d1[3], d1_bc=d1[4], d1_wch=d1[5],
+        d0_wg=d0[0], d0_bg=d0[1], d0_wc=d0[2], d0_bc=d0[3],
+        d1_wg=d1[0], d1_bg=d1[1], d1_wc=d1[2], d1_bc=d1[3],
         f_w=params["frame_proj"]["kernel"], f_b=params["frame_proj"]["bias"],
     )
 
 
-def _gru_step(h, x, wgx, bg, wgh, wcx, bc, wch):
+def _gru_step(h, x, wg, bg, wc, bc):
     """TF1 GRU semantics (ops/gru.GRUCell): bf16/f32 MXU dots, f32 accumulation,
-    f32 state and elementwise math."""
-    wd = wgx.dtype
+    f32 state and elementwise math. Fused [x, h] layout — 2 sequential dots."""
+    wd = wg.dtype
+    xh = jnp.concatenate([x.astype(wd), h.astype(wd)], axis=-1)
     ru = jax.nn.sigmoid(
-        jnp.dot(x.astype(wd), wgx, preferred_element_type=jnp.float32)
-        + jnp.dot(h.astype(wd), wgh, preferred_element_type=jnp.float32)
+        jnp.dot(xh, wg, preferred_element_type=jnp.float32)
         + bg.astype(jnp.float32)
     )
     d = h.shape[-1]
     r, u = ru[:, :d], ru[:, d:]
+    xrh = jnp.concatenate([x.astype(wd), (r * h).astype(wd)], axis=-1)
     c = jnp.tanh(
-        jnp.dot(x.astype(wd), wcx, preferred_element_type=jnp.float32)
-        + jnp.dot((r * h).astype(wd), wch, preferred_element_type=jnp.float32)
+        jnp.dot(xrh, wc, preferred_element_type=jnp.float32)
         + bc.astype(jnp.float32)
     )
     return u * h + (1.0 - u) * c
@@ -195,8 +185,8 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
             x = drop(x)
 
             gi = jnp.concatenate([x, ctx[:]], axis=-1)
-            h_att[:] = _gru_step(h_att[:], gi, w.ag_wgx, w.ag_bg, w.ag_wgh,
-                                 w.ag_wcx, w.ag_bc, w.ag_wch)
+            h_att[:] = _gru_step(h_att[:], gi, w.ag_wg, w.ag_bg,
+                                 w.ag_wc, w.ag_bc)
 
             # Bahdanau energy / masked softmax / context — fused. Energies in
             # the storage dtype (bf16 fast path), f32 score accumulation.
@@ -228,11 +218,9 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
             h = jnp.dot(jnp.concatenate([h_att[:], ctx[:]], axis=-1).astype(wd),
                         w.ip_w, preferred_element_type=jnp.float32) \
                 + w.ip_b.astype(jnp.float32)
-            h0[:] = _gru_step(h0[:], h, w.d0_wgx, w.d0_bg, w.d0_wgh,
-                              w.d0_wcx, w.d0_bc, w.d0_wch)
+            h0[:] = _gru_step(h0[:], h, w.d0_wg, w.d0_bg, w.d0_wc, w.d0_bc)
             h = h + h0[:]
-            h1[:] = _gru_step(h1[:], h, w.d1_wgx, w.d1_bg, w.d1_wgh,
-                              w.d1_wcx, w.d1_bc, w.d1_wch)
+            h1[:] = _gru_step(h1[:], h, w.d1_wg, w.d1_bg, w.d1_wc, w.d1_bc)
             h = h + h1[:]
 
             frames = jnp.dot(h.astype(wd), w.f_w,
@@ -283,8 +271,8 @@ def decode_loop(memory, keys, mask, weights: DecoderWeights, *, n_steps: int,
     r_nm = weights.f_w.shape[1]
     n_mels = weights.p_w0.shape[0]
     r = r_nm // n_mels
-    att_dim = weights.ag_wgh.shape[0]
-    dec_dim = weights.d0_wgh.shape[0]
+    att_dim = weights.ag_wg.shape[1] // 2
+    dec_dim = weights.d0_wg.shape[1] // 2
     mem_dim = memory.shape[2]
     sdtype = jnp.bfloat16 if lowp else jnp.float32
 

@@ -20,6 +20,13 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the suite's wall time is dominated by ~25
+# tests with 10-40 s jit compiles (full-model grads, GSPMD mesh programs).
+# Warm-cache reruns skip those — the "hostile to iteration" cost is paid once
+# per machine, not once per run. Keyed by backend + jax version internally.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_comp_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np
 import pytest
 

@@ -46,6 +46,12 @@ class TestVocab:
         v = Vocab.build(["A  B\tC"])
         assert v.decode(v.encode("a B  c")) == "a b c"
 
+    def test_oov_dropped_with_warning(self):
+        v = Vocab.build(["abc"])
+        with pytest.warns(UserWarning, match="out-of-vocabulary"):
+            ids = v.encode("ab!z")
+        assert v.decode(ids) == "ab"
+
 
 class TestPreprocess:
     def test_layout_and_shapes(self, data_dir):
