@@ -98,6 +98,23 @@ def main():
 
     t_dec = timed("decoder fwd+bwd", lambda p: jax.grad(dec_loss)(p), params)
 
+    # ---- decoder at HALF the steps: separates the serial per-step cost of
+    # the scan chain from fixed (hoisted prenet/projection) cost ----
+    half = t_out // 2 // (2 * m.r) * (2 * m.r)
+
+    def dec_loss_half(p):
+        mel, _ = Decoder(m, name="decoder").apply(
+            {"params": p["decoder"]}, memory, keys, mask,
+            gt_frames=mel_gt[:, :half], rngs={"dropout": drng})
+        return jnp.abs(mel - mel_gt[:, :half]).mean()
+
+    t_dec_h = timed("decoder fwd+bwd (T_out/2)",
+                    lambda p: jax.grad(dec_loss_half)(p), params)
+    n_steps = t_out // m.r
+    per_step = (t_dec - t_dec_h) / (n_steps - half // m.r)
+    print(f"{'  -> decoder us/scan-step (fwd+bwd)':36s} {per_step*1e6:9.2f} us"
+          f"  fixed {max(t_dec - per_step*n_steps, 0)*1e3:.2f} ms")
+
     # ---- postnet fwd+bwd ----
     def post_loss(p):
         lin, _ = PostNet(m, True).apply(
@@ -106,6 +123,20 @@ def main():
         return jnp.abs(lin - lin_gt).mean()
 
     t_post = timed("postnet fwd+bwd", lambda p: jax.grad(post_loss)(p), params)
+
+    # ---- postnet at half T_out: its biGRU is the LONGEST serial chain in the
+    # step (T_out=400 scan steps vs the decoder's 200) ----
+    def post_loss_half(p):
+        lin, _ = PostNet(m, True).apply(
+            {"params": p["postnet"], "batch_stats": bstats["postnet"]},
+            mel_gt[:, :half], mutable=["batch_stats"])
+        return jnp.abs(lin - lin_gt[:, :half]).mean()
+
+    t_post_h = timed("postnet fwd+bwd (T_out/2)",
+                     lambda p: jax.grad(post_loss_half)(p), params)
+    per_t = (t_post - t_post_h) / (t_out - half)
+    print(f"{'  -> postnet us/frame (fwd+bwd)':36s} {per_t*1e6:9.2f} us"
+          f"  fixed {max(t_post - per_t*t_out, 0)*1e3:.2f} ms")
 
     other = t_full - t_enc - t_dec - t_post
     print(f"{'unattributed (loss/adam-free residue)':36s} {other*1e3:9.2f} ms")
