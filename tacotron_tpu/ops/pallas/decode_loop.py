@@ -194,8 +194,13 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
                         preferred_element_type=jnp.float32)
             e = jnp.tanh(keys_flat
                          + jnp.repeat(q.astype(keys_flat.dtype), t_in, axis=0))
-            scores = jnp.dot(e, w.at_v.astype(e.dtype),
-                             preferred_element_type=jnp.float32)
+            # v-contraction on the VPU: as a matmul this is (b*t_in, dim) x
+            # (dim, 1) — N=1 padded to a 128-lane MXU tile, 99% wasted; an
+            # f32 multiply + lane reduction is exact (products in f32) and
+            # frees the MXU slot in the latency-bound step
+            scores = jnp.sum(e.astype(jnp.float32)
+                             * w.at_v.astype(jnp.float32).reshape(1, -1),
+                             axis=-1)
             scores = scores.reshape(b, t_in) + maskbias
             m = jnp.max(scores, axis=-1, keepdims=True)
             p = jnp.exp(scores - m)
