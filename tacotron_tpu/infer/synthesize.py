@@ -43,14 +43,55 @@ class Synthesizer:
     wav_lengths, trimmed audio seconds) regardless of flags."""
 
     def __init__(self, cfg: Config, params, batch_stats, vocab: Vocab,
-                 fused: bool = False):
+                 fused: bool = False, mesh=None):
         self.cfg = cfg
         self.variables = {"params": params, "batch_stats": batch_stats}
         self.vocab = vocab
         self.model = Tacotron(cfg.model, train=False)
         self.fused = fused
+        self.mesh = mesh
         icfg = cfg.infer
         self.split_gl = (icfg.early_exit or icfg.trim_before_gl) and not fused
+
+        if mesh is not None:
+            # Multi-chip DP synthesis (BASELINE "inference 1 chip / 1 host /
+            # N hosts" row): the utterance batch shards over the mesh's
+            # ``data`` axis. The model pass partitions via GSPMD (inputs
+            # arrive sharded, params replicate); Griffin-Lim is shard_mapped
+            # explicitly because pallas_call does not auto-partition under
+            # GSPMD — inside shard_map each chip runs the kernel on its local
+            # shard, which is exactly the batched-GL design.
+            assert not fused, "mesh synthesis uses the scan decode (GSPMD)"
+            assert not (icfg.early_exit or icfg.trim_before_gl), \
+                "mesh synthesis: early-exit/trim are host-driven; off for DP"
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            data_ax = mesh.axis_names[0]
+            self._data_ax = data_ax
+            self._batch2d = NamedSharding(mesh, P(data_ax, None))
+            self._batch1d = NamedSharding(mesh, P(data_ax))
+            self.split_gl = True
+
+            @functools.partial(jax.jit, static_argnames=("n_steps",))
+            def _model(variables, text, text_len, rng, n_steps):
+                out = self.model.apply(variables, text, text_len,
+                                       n_steps=n_steps, rngs={"dropout": rng})
+                return out.mel, out.linear, out.alignments
+
+            from jax import shard_map
+
+            @functools.partial(jax.jit, static_argnames=("gl_iters",))
+            def _gl(linear, gl_iters):
+                f = shard_map(
+                    lambda lin: inv_spectrogram(lin, cfg.audio,
+                                                n_iter=gl_iters),
+                    mesh=mesh, in_specs=P(data_ax, None, None),
+                    out_specs=P(data_ax, None))
+                return f(linear)
+
+            self._model_fn, self._gl_fn = _model, _gl
+            self._synth = None
+            return
 
         if self.split_gl:
             if icfg.early_exit:
@@ -181,6 +222,21 @@ class Synthesizer:
         text, lengths = self.encode_texts(texts)
         rng = jax.random.PRNGKey(seed)
 
+        n_real = text.shape[0]
+        if self.mesh is not None:
+            # pad the batch to a multiple of the data axis and shard it; pad
+            # rows use length 1 (a real mask — all-padding rows are sliced
+            # off before returning)
+            nd = self.mesh.shape[self._data_ax]
+            pad = -n_real % nd
+            if pad:
+                text = jnp.concatenate(
+                    [text, jnp.zeros((pad, text.shape[1]), text.dtype)])
+                lengths = jnp.concatenate(
+                    [lengths, jnp.ones((pad,), lengths.dtype)])
+            text = jax.device_put(text, self._batch2d)
+            lengths = jax.device_put(lengths, self._batch1d)
+
         if self.split_gl:
             mel, linear, align = self._model_fn(
                 self.variables, text, lengths, rng, n_steps)
@@ -199,6 +255,9 @@ class Synthesizer:
             ends = end_frames(np.asarray(mel), icfg.silence_threshold,
                               icfg.min_silence_frames)
 
+        if self.mesh is not None and wav.shape[0] != n_real:
+            mel, linear, align, wav, ends = (
+                x[:n_real] for x in (mel, linear, align, wav, ends))
         wav = np.asarray(wav)
         if peak_normalize:
             peak = np.abs(wav).max(axis=-1, keepdims=True)
