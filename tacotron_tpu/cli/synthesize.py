@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--trim", action="store_true",
                    help="write per-utterance silence-trimmed wavs and run "
                         "Griffin-Lim only on the non-padding prefix")
+    p.add_argument("--data-parallel", action="store_true",
+                   help="shard the utterance batch over all visible devices "
+                        "(DP mesh; GSPMD model pass + shard_mapped "
+                        "Griffin-Lim). Excludes --fused/--early-exit/--trim")
     args = p.parse_args(argv)
 
     import jax
@@ -61,8 +65,12 @@ def main(argv=None):
     state, step = checkpoint.restore(os.path.join(args.run_dir, "ckpt"), template)
     print(f"restored checkpoint at step {step}")
 
+    mesh = None
+    if args.data_parallel:
+        from tacotron_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg.mesh)
     synth = Synthesizer(cfg, state.params, state.batch_stats, vocab,
-                        fused=args.fused)
+                        fused=args.fused, mesh=mesh)
     t0 = time.time()
     out = synth(args.text, n_steps=args.steps, gl_iters=args.gl_iters,
                 seed=args.seed)
