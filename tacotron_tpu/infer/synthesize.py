@@ -234,12 +234,33 @@ class Synthesizer:
                     [text, jnp.zeros((pad, text.shape[1]), text.dtype)])
                 lengths = jnp.concatenate(
                     [lengths, jnp.ones((pad,), lengths.dtype)])
-            text = jax.device_put(text, self._batch2d)
-            lengths = jax.device_put(lengths, self._batch1d)
+            if jax.process_count() > 1:
+                # every host holds the same full prompt list; each contributes
+                # its process-order slice of the global batch (the same
+                # contract as parallel.mesh.shard_batch)
+                ph = text.shape[0] // jax.process_count()
+                lo = jax.process_index() * ph
+                text = jax.make_array_from_process_local_data(
+                    self._batch2d, np.asarray(text[lo:lo + ph]))
+                lengths = jax.make_array_from_process_local_data(
+                    self._batch1d, np.asarray(lengths[lo:lo + ph]))
+            else:
+                text = jax.device_put(text, self._batch2d)
+                lengths = jax.device_put(lengths, self._batch1d)
+
+        def to_host(x):
+            # multi-host: batch-sharded outputs are not fully addressable on
+            # any single process — allgather so every host returns the full
+            # batch (mirrors checkpoint.save's shard gather)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                from jax.experimental import multihost_utils
+                return multihost_utils.process_allgather(x, tiled=True)
+            return x
 
         if self.split_gl:
             mel, linear, align = self._model_fn(
                 self.variables, text, lengths, rng, n_steps)
+            mel, align = to_host(mel), to_host(align)
             ends = end_frames(np.asarray(mel), icfg.silence_threshold,
                               icfg.min_silence_frames)
             if icfg.trim_before_gl:
@@ -249,6 +270,7 @@ class Synthesizer:
                 wav = self._gl_fn(linear[:, :t_gl], gl_iters)
             else:
                 wav = self._gl_fn(linear, gl_iters)
+            linear, wav = to_host(linear), to_host(wav)
         else:
             mel, linear, align, wav = self._synth(
                 self.variables, text, lengths, rng, n_steps, gl_iters)
