@@ -122,6 +122,25 @@ def main():
           f" | matmul-DFT {t_mm*1000:.0f} ms (err {e_mm:.3f})"
           f" | speedup {t_fft/t_mm:.1f}x")
 
+    # --- Pallas GL under shard_map on the REAL chip (1-device mesh): the
+    # multi-chip synthesis design (infer/synthesize.py mesh branch) runs the
+    # kernel per-shard; this validates the non-interpret Mosaic lowering
+    # inside shard_map, which CPU tests can only cover in interpret mode.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from tacotron_tpu.dsp.pallas_gl import griffin_lim_pallas
+
+    mesh1 = Mesh(np.array(jax.devices()[:1]), ("data",))
+    f_sm = jax.jit(jax.shard_map(
+        lambda m: griffin_lim_pallas(m, **kw, n_iter=10),
+        mesh=mesh1, in_specs=P("data", None, None),
+        out_specs=P("data", None), check_vma=False))
+    rec_sm = f_sm(jax.device_put(mag, NamedSharding(mesh1, P("data", None, None))))
+    rec_ref = griffin_lim_pallas(mag, **kw, n_iter=10)
+    d = float(jnp.max(jnp.abs(rec_sm - rec_ref)))
+    print(f"pallas GL under shard_map (1-dev mesh): max|diff| vs direct {d:.2e}"
+          f"  {'OK' if d < 1e-4 else 'FAIL'}")
+
 
 if __name__ == "__main__":
     main()

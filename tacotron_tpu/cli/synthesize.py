@@ -37,6 +37,10 @@ def main(argv=None):
                         "(DP mesh; GSPMD model pass + shard_mapped "
                         "Griffin-Lim). Excludes --fused/--early-exit/--trim")
     args = p.parse_args(argv)
+    if args.data_parallel and (args.fused or args.early_exit or args.trim):
+        p.error("--data-parallel cannot combine with --fused/--early-exit/"
+                "--trim (fused is a single-chip kernel; early-exit/trim are "
+                "host-driven)")
 
     import jax
 

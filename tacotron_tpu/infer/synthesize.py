@@ -61,9 +61,12 @@ class Synthesizer:
             # explicitly because pallas_call does not auto-partition under
             # GSPMD — inside shard_map each chip runs the kernel on its local
             # shard, which is exactly the batched-GL design.
-            assert not fused, "mesh synthesis uses the scan decode (GSPMD)"
-            assert not (icfg.early_exit or icfg.trim_before_gl), \
-                "mesh synthesis: early-exit/trim are host-driven; off for DP"
+            if fused:
+                raise ValueError("mesh synthesis uses the scan decode "
+                                 "(GSPMD); drop fused=True")
+            if icfg.early_exit or icfg.trim_before_gl:
+                raise ValueError("mesh synthesis: early-exit/trim are "
+                                 "host-driven; turn them off for DP")
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             data_ax = mesh.axis_names[0]
@@ -72,24 +75,21 @@ class Synthesizer:
             self._batch1d = NamedSharding(mesh, P(data_ax))
             self.split_gl = True
 
-            @functools.partial(jax.jit, static_argnames=("n_steps",))
-            def _model(variables, text, text_len, rng, n_steps):
-                out = self.model.apply(variables, text, text_len,
-                                       n_steps=n_steps, rngs={"dropout": rng})
-                return out.mel, out.linear, out.alignments
-
             from jax import shard_map
 
             @functools.partial(jax.jit, static_argnames=("gl_iters",))
             def _gl(linear, gl_iters):
+                # check_vma=False: pallas_call does not declare varying-mesh
+                # annotations, so the default vma check rejects the (correct)
+                # per-shard kernel (tests/distributed/test_mesh_synthesis.py)
                 f = shard_map(
                     lambda lin: inv_spectrogram(lin, cfg.audio,
                                                 n_iter=gl_iters),
                     mesh=mesh, in_specs=P(data_ax, None, None),
-                    out_specs=P(data_ax, None))
+                    out_specs=P(data_ax, None), check_vma=False)
                 return f(linear)
 
-            self._model_fn, self._gl_fn = _model, _gl
+            self._model_fn, self._gl_fn = self._plain_model_fn(), _gl
             self._synth = None
             return
 
@@ -122,13 +122,7 @@ class Synthesizer:
                     linear = self._postnet_apply(v, bs, mel)
                     return mel, linear, aligns
             else:
-                @functools.partial(jax.jit, static_argnames=("n_steps",))
-                def _model(variables, text, text_len, rng, n_steps):
-                    out = self.model.apply(
-                        variables, text, text_len, n_steps=n_steps,
-                        rngs={"dropout": rng},
-                    )
-                    return out.mel, out.linear, out.alignments
+                _model = self._plain_model_fn()
 
             @functools.partial(jax.jit, static_argnames=("gl_iters",))
             def _gl(linear, gl_iters):
@@ -187,6 +181,17 @@ class Synthesizer:
                 return mel, linear, aligns, wav
 
         self._synth = _synth
+
+    def _plain_model_fn(self):
+        """Jitted full-scan model pass (mel, linear, alignments) — shared by
+        the split_gl and mesh paths (GSPMD partitions it when inputs arrive
+        sharded)."""
+        @functools.partial(jax.jit, static_argnames=("n_steps",))
+        def _model(variables, text, text_len, rng, n_steps):
+            out = self.model.apply(variables, text, text_len, n_steps=n_steps,
+                                   rngs={"dropout": rng})
+            return out.mel, out.linear, out.alignments
+        return _model
 
     def _postnet_apply(self, v, bs, mel):
         from tacotron_tpu.models.postnet import PostNet

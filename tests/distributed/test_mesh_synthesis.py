@@ -31,7 +31,7 @@ def setup():
                                   prenet_dropout=0.0),
         audio=dataclasses.replace(cfg.audio, griffin_lim_iters=3),
     )
-    vocab = Vocab.build(["abcdefghijklmnopqrstuvwxyz "])
+    vocab = Vocab.build(["the quick brown fox jumps over a lazy dog"])
     model = Tacotron(cfg.model, train=False)
     text = jnp.ones((2, 8), jnp.int32)
     variables = model.init(
@@ -78,3 +78,30 @@ def test_mesh_synthesis_gl_actually_sharded(setup):
     assert len(wav.sharding.device_set) == 8
     shard_shapes = {tuple(sh.data.shape) for sh in wav.addressable_shards}
     assert shard_shapes == {(1, wav.shape[1])}
+
+
+def test_pallas_gl_traces_under_shard_map():
+    """pallas_call has no GSPMD partitioning rule — the mesh design runs it
+    inside shard_map. On CPU the production path falls back to mm
+    (dsp/audio.py), so this exercises the shard_map<->pallas_call tracing
+    contract DIRECTLY with the interpret kernel: each device runs the fused
+    GL kernel on its local batch shard."""
+    from jax.sharding import PartitionSpec as P
+
+    from tacotron_tpu.dsp.dft import stft_mm
+    from tacotron_tpu.dsp.pallas_gl import griffin_lim_pallas
+
+    mesh = make_mesh(MeshConfig())
+    kw = dict(n_fft=256, hop_length=64, win_length=160)
+    y = jax.random.normal(jax.random.PRNGKey(0), (8, 64 * 80))
+    re, im = stft_mm(y, **kw)
+    mag = jnp.sqrt(re**2 + im**2 + 1e-12)
+
+    f = jax.shard_map(
+        lambda m: griffin_lim_pallas(m, **kw, n_iter=2, interpret=True),
+        mesh=mesh, in_specs=P("data", None, None), out_specs=P("data", None),
+        check_vma=False)
+    wav = jax.jit(f)(jax.device_put(
+        mag, jax.sharding.NamedSharding(mesh, P("data", None, None))))
+    ref = griffin_lim_pallas(mag, **kw, n_iter=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(wav), np.asarray(ref), atol=1e-5)

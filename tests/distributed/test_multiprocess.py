@@ -24,7 +24,7 @@ jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=nproc, process_id=pid)
 import jax.numpy as jnp
 import numpy as np
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[4])
 from tacotron_tpu.config import get_config
 from tacotron_tpu.parallel import make_mesh
 from tacotron_tpu.train.step import create_train_state, make_train_step
@@ -61,15 +61,24 @@ print(json.dumps({"pid": pid, "loss": loss, "step": int(state.step)}), flush=Tru
 """
 
 
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
 @pytest.mark.slow
 @pytest.mark.timeout(600)
 def test_two_process_dp_agrees():
-    port = "12355"
+    port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(pid), "2", port],
+            [sys.executable, "-c", WORKER, str(pid), "2", port, REPO],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
         for pid in range(2)

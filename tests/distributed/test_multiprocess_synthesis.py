@@ -23,7 +23,7 @@ jax.distributed.initialize(coordinator_address=f"127.0.0.1:{port}",
                            num_processes=nproc, process_id=pid)
 import numpy as np
 import jax.numpy as jnp
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, sys.argv[4])
 from tacotron_tpu.config import MeshConfig, get_config
 from tacotron_tpu.data.vocab import Vocab
 from tacotron_tpu.infer import Synthesizer
@@ -55,15 +55,24 @@ print(json.dumps({"pid": pid,
 """
 
 
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
 @pytest.mark.slow
 @pytest.mark.timeout(600)
 def test_two_process_synthesis_agrees():
-    port = "12357"
+    port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", WORKER, str(pid), "2", port],
+            [sys.executable, "-c", WORKER, str(pid), "2", port, REPO],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
         )
         for pid in range(2)
