@@ -41,6 +41,10 @@ def main(argv=None):
         p.error("--data-parallel cannot combine with --fused/--early-exit/"
                 "--trim (fused is a single-chip kernel; early-exit/trim are "
                 "host-driven)")
+    if args.fused and (args.early_exit or args.trim):
+        p.error("--fused cannot combine with --early-exit/--trim (the fused "
+                "kernel decodes a fixed length; the flags' savings would "
+                "silently not happen)")
 
     import jax
 

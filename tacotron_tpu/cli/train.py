@@ -151,10 +151,14 @@ def main(argv=None):
     frames_since = 0
     step = start_step
     eval_synth = None
+    tracing = False
     with mesh:
         while step < cfg.train.max_steps:
-            if step + 1 == trace_first:
+            # >= not ==: a checkpoint resume can land inside (or past) the
+            # requested window; the flag keeps start/stop paired either way
+            if trace_first >= 0 and step + 1 >= trace_first and not tracing:
                 jax.profiler.start_trace(os.path.join(args.run_dir, "trace"))
+                tracing = True
             b = next(it)
             if args.debug_sync and (step + 1) % cfg.train.summary_every == 0:
                 multihost.assert_same_step(step)
@@ -167,9 +171,11 @@ def main(argv=None):
             )
             state, metrics, alignments = step_fn(state, *arrays)
             step += 1
-            if step == trace_last:
+            if tracing and step >= trace_last:
                 profiling.force(metrics["total_loss"])  # drain before stop
                 jax.profiler.stop_trace()
+                tracing = False
+                trace_first = -1          # one window per run
                 print(f"trace written: {os.path.join(args.run_dir, 'trace')}")
             frames_since += b.mel.shape[0] * b.mel.shape[1] * jax.process_count()
 
@@ -192,25 +198,37 @@ def main(argv=None):
                 checkpoint.save(ckpt_dir, step, state)
                 multihost.barrier("post-ckpt")
 
-            if args.eval_every and step % args.eval_every == 0 \
-                    and multihost.is_primary():
+            if args.eval_every and step % args.eval_every == 0:
                 from tacotron_tpu.infer import Synthesizer
+                from tacotron_tpu.train.checkpoint import _to_host
 
-                if eval_synth is None:
-                    # built ONCE: the jitted synth graph is reused across
-                    # evals (a fresh Synthesizer per eval re-traced and
-                    # re-compiled the whole decode+GL graph every time)
-                    eval_synth = Synthesizer(cfg, state.params,
-                                             state.batch_stats, ds.vocab)
-                else:
-                    eval_synth.variables = {"params": state.params,
-                                            "batch_stats": state.batch_stats}
-                out = eval_synth([args.eval_text], gl_iters=60)
-                writer.audio("eval/audio", out["wavs"][0],
-                             cfg.audio.sample_rate, step)
-                writer.alignment("eval/alignment", out["alignments"][0], step)
-                writer.flush()
+                # COLLECTIVE: multi-process state is not fully addressable on
+                # any single host, and eval runs a single-process jit — every
+                # process must join the gather, then only host 0 synthesizes
+                # (same contract as checkpoint.save)
+                eval_params = jax.tree_util.tree_map(_to_host, state.params)
+                eval_bstats = jax.tree_util.tree_map(_to_host,
+                                                     state.batch_stats)
+                if multihost.is_primary():
+                    if eval_synth is None:
+                        # built ONCE: the jitted synth graph is reused across
+                        # evals (a fresh Synthesizer per eval re-traced and
+                        # re-compiled the whole decode+GL graph every time)
+                        eval_synth = Synthesizer(cfg, eval_params,
+                                                 eval_bstats, ds.vocab)
+                    else:
+                        eval_synth.variables = {"params": eval_params,
+                                                "batch_stats": eval_bstats}
+                    out = eval_synth([args.eval_text], gl_iters=60)
+                    writer.audio("eval/audio", out["wavs"][0],
+                                 cfg.audio.sample_rate, step)
+                    writer.alignment("eval/alignment", out["alignments"][0],
+                                     step)
+                    writer.flush()
 
+    if tracing:   # window extended past max_steps: still write the trace
+        jax.profiler.stop_trace()
+        print(f"trace written: {os.path.join(args.run_dir, 'trace')}")
     checkpoint.save(ckpt_dir, step, state)
     writer.close()
     print(json.dumps({"done": True, "step": step}))

@@ -227,12 +227,20 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
         try:
             val = json.loads(raw)
         except json.JSONDecodeError:
-            val = raw
+            # Python-style booleans: json only accepts lowercase, and a bool
+            # field silently set to the truthy string "False" inverts the
+            # user's intent ('if cfg.x:' sees a non-empty string)
+            low = raw.strip().lower()
+            val = {"true": True, "false": False}.get(low, raw)
         if isinstance(val, list):
             val = tuple(val)
         sub = getattr(cfg, section)
         if not any(f.name == field_name for f in dataclasses.fields(sub)):
             raise ValueError(f"unknown config field {key!r}")
+        cur = getattr(sub, field_name)
+        if isinstance(cur, bool) and not isinstance(val, bool):
+            raise ValueError(
+                f"{key!r} is a boolean flag; got {raw!r} (use true/false)")
         cfg = dataclasses.replace(
             cfg, **{section: dataclasses.replace(sub, **{field_name: val})})
     return cfg

@@ -121,10 +121,13 @@ def _reflect_plan(n_fft: int, hop: int, n_frames: int):
     pad = n_fft // 2
     ty = n_fft + hop * (n_frames - 1)
     c = ty - pad - 1
-    if pad + 1 >= ty - pad:
+    # the farthest reflection source is t_src = 2*pad (for t = 0), which must
+    # land in the interior [pad, ty - pad): requires ty >= 3*pad + 1
+    if ty < 3 * pad + 1:
+        min_frames = -(-(3 * pad + 1 - n_fft) // hop) + 1
         raise ValueError(
-            f"signal too short to reflect-pad: interior {ty - 2 * pad} <= pad "
-            f"{pad}; need n_frames > {2 * pad / hop + 1:.0f}")
+            f"signal too short to reflect-pad: ty {ty} < 3*pad+1 "
+            f"{3 * pad + 1}; need n_frames >= {min_frames}")
 
     per_pair: dict[tuple[int, int], np.ndarray] = {}
     reflected_lanes: dict[int, np.ndarray] = {}

@@ -51,7 +51,13 @@ class Synthesizer:
         self.fused = fused
         self.mesh = mesh
         icfg = cfg.infer
-        self.split_gl = (icfg.early_exit or icfg.trim_before_gl) and not fused
+        if fused and (icfg.early_exit or icfg.trim_before_gl):
+            # refusing beats silently decoding the full fixed length (the
+            # compute saving the flags promise would never happen)
+            raise ValueError("fused decode cannot combine with "
+                             "early_exit/trim_before_gl (host-driven paths); "
+                             "turn one off")
+        self.split_gl = icfg.early_exit or icfg.trim_before_gl
 
         if mesh is not None:
             # Multi-chip DP synthesis (BASELINE "inference 1 chip / 1 host /

@@ -78,6 +78,31 @@ class _Ctx:
     params: dict
     batch_stats: dict
     assigned: set = field(default_factory=set)
+    tf_names: frozenset = frozenset()
+    _cell_map: dict | None = None
+
+    def decoder_cell(self, cell_id: str) -> str | None:
+        """Map a TF1 ``cell_<N>`` index onto our decoder GRU names.
+
+        Two scoping conventions exist in the wild: MultiRNNCell over
+        [attention cell, res-GRU, res-GRU] numbers them cell_0..cell_2;
+        when the attention cell is scoped under attention_wrapper instead,
+        the residual GRUs appear as cell_0/cell_1. Decided ONCE from the
+        full variable-name set (how many distinct numbered cells exist),
+        never guessed per variable; out-of-range cells return None
+        (-> unmatched_tf, not a crash)."""
+        if self._cell_map is None:
+            pat = re.compile(r"(?:.*/)?(?:multi_rnn_cell/)?cell_(\d+)/")
+            ids = sorted({int(m.group(1)) for n in self.tf_names
+                          if (m := pat.match(n))})
+            if ids == [0, 1]:
+                self._cell_map = {"0": "decoder_gru0", "1": "decoder_gru1"}
+            elif ids == [0, 1, 2]:
+                self._cell_map = {"0": "attention_gru",
+                                  "1": "decoder_gru0", "2": "decoder_gru1"}
+            else:               # unknown topology: match nothing
+                self._cell_map = {}
+        return self._cell_map.get(cell_id)
 
     def gru_split(self, base: str, kind: str, arr: np.ndarray):
         """Row-split a fused TF [x, h] kernel into the _ScanGRU hoisted layout
@@ -132,8 +157,11 @@ def _bigru(m, arr, ctx):
 
 
 def _dec_gru(m, arr, ctx):
-    cell = {"attention": "attention_gru", "0": "decoder_gru0",
-            "1": "decoder_gru1"}[m.group("cell")]
+    cid = m.group("cell")
+    cell = ("attention_gru" if cid == "attention"
+            else ctx.decoder_cell(cid))
+    if cell is None:           # cell index outside the known topologies
+        return None            # -> unmatched_tf, never a KeyError
     part = "gates" if m.group("part") == "gates" else "candidate"
     return [("params",
              f"decoder/cell/{cell}/{part}/{m.group('leaf')}", arr)]
@@ -200,7 +228,7 @@ NAME_TABLE = [
     # --- decoder cells (fused TF kernels copy verbatim) -----------------
     (r"(?:.*/)?attention_wrapper/(?:cell/)?gru_cell/(?P<part>gates|candidate)/(?P<leaf>kernel|bias)$",
      lambda m, a, c: _dec_gru(_FakeCell(m, "attention"), a, c)),
-    (r"(?:.*/)?(?:multi_rnn_cell/)?cell_(?P<cell>\d)/(?:residual_wrapper/)?gru_cell/(?P<part>gates|candidate)/(?P<leaf>kernel|bias)$",
+    (r"(?:.*/)?(?:multi_rnn_cell/)?cell_(?P<cell>\d+)/(?:residual_wrapper/)?gru_cell/(?P<part>gates|candidate)/(?P<leaf>kernel|bias)$",
      _dec_gru),
     (r"(?:.*/)?decoder.*(?:input|output)_projection[^/]*/(?P<leaf>kernel|bias)$",
      _direct("decoder/cell/decoder_input_proj/{leaf}")),
@@ -261,7 +289,8 @@ def convert(tf_vars: dict[str, np.ndarray], target_params,
     params = to_plain(target_params)
     batch_stats = to_plain(target_batch_stats)
     trees = {"params": params, "batch_stats": batch_stats}
-    ctx = _Ctx(params=params, batch_stats=batch_stats)
+    ctx = _Ctx(params=params, batch_stats=batch_stats,
+               tf_names=frozenset(tf_vars))
 
     compiled = [(re.compile(pat), res) for pat, res in NAME_TABLE]
     matched: dict[str, list[str]] = {}
@@ -281,21 +310,30 @@ def convert(tf_vars: dict[str, np.ndarray], target_params,
         if not out:
             unmatched_tf.append(name)
             continue
-        paths = []
+        # validate EVERY target first, assign only if all pass: a multi-
+        # target resolver (e.g. gru_split) must never leave a half-written
+        # kernel behind on a late shape mismatch
+        staged = []
+        err = None
         for coll, path, value in out:
             tgt = _get(trees[coll], path)
             if tgt is None:
-                errors[name] = f"no such leaf: {coll}:{path}"
+                err = f"no such leaf: {coll}:{path}"
                 break
             if tuple(np.shape(tgt)) != tuple(value.shape):
-                errors[name] = (f"shape mismatch at {coll}:{path}: "
-                                f"ours {np.shape(tgt)} vs tf {value.shape}")
+                err = (f"shape mismatch at {coll}:{path}: "
+                       f"ours {np.shape(tgt)} vs tf {value.shape}")
                 break
-            _set(trees[coll], path, value.astype(np.asarray(tgt).dtype))
+            staged.append((coll, path, value.astype(np.asarray(tgt).dtype)))
+        if err is not None:
+            errors[name] = err
+            continue
+        paths = []
+        for coll, path, value in staged:
+            _set(trees[coll], path, value)
             ctx.assigned.add(path)
             paths.append(f"{coll}:{path}")
-        else:
-            matched[name] = paths
+        matched[name] = paths
 
     def all_paths(tree, prefix=""):
         for k, v in tree.items():

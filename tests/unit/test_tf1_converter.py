@@ -183,3 +183,49 @@ def test_shape_mismatch_is_error_not_misassign(model_and_vars):
     np.testing.assert_array_equal(
         out["params"]["encoder"]["embed"]["embedding"],
         params["encoder"]["embed"]["embedding"])
+
+
+def test_three_cell_multirnn_convention(model_and_vars):
+    """barronalex-style MultiRNNCell([attn cell, res-GRU, res-GRU]) scopes the
+    cells as cell_0..cell_2: cell_0 is the ATTENTION GRU and cell_1/cell_2 are
+    the residual decoder GRUs (decided from the whole name set, not per-var)."""
+    cfg, model, variables, _ = model_and_vars
+    params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+    g = lambda p: _walk(params, p)
+    tf = {}
+    for i, ours in enumerate(("attention_gru", "decoder_gru0", "decoder_gru1")):
+        for part in ("gates", "candidate"):
+            for leaf in ("kernel", "bias"):
+                tf[f"model/decoder/multi_rnn_cell/cell_{i}/gru_cell/{part}/{leaf}"] = \
+                    g(f"decoder/cell/{ours}/{part}/{leaf}")
+    out = convert(tf, params)
+    assert not out["errors"], out["errors"]
+    assert not out["unmatched_tf"], out["unmatched_tf"]
+    for i, ours in enumerate(("attention_gru", "decoder_gru0", "decoder_gru1")):
+        np.testing.assert_array_equal(
+            _walk(out["params"], f"decoder/cell/{ours}/gates/kernel"),
+            g(f"decoder/cell/{ours}/gates/kernel"))
+    # a cell index outside the known topologies is unmatched, never a crash
+    out2 = convert({"model/decoder/multi_rnn_cell/cell_7/gru_cell/gates/kernel":
+                    np.zeros((4, 4), np.float32)}, params)
+    assert out2["unmatched_tf"] == \
+        ["model/decoder/multi_rnn_cell/cell_7/gru_cell/gates/kernel"]
+
+
+def test_multi_target_mismatch_commits_nothing(model_and_vars):
+    """gru_split emits two assignments; if the second one's shape mismatches,
+    the FIRST must not have been committed (no half-written fused kernel)."""
+    cfg, model, variables, _ = model_and_vars
+    params = jax.tree_util.tree_map(np.asarray, dict(variables["params"]))
+    g = lambda p: _walk(params, p)
+    gx = g("encoder/cbhg/bigru/fwd/gates_x/kernel")
+    # right x-half width, wrong total rows -> h-half mismatches
+    bad = np.zeros((gx.shape[0] + 3, gx.shape[1]), np.float32)
+    name = ("model/inference/encoder_cbhg/bidirectional_rnn/fw/gru_cell/"
+            "gates/kernel")
+    out = convert({name: bad}, params)
+    assert name in out["errors"]
+    np.testing.assert_array_equal(
+        _walk(out["params"], "encoder/cbhg/bigru/fwd/gates_x/kernel"), gx)
+    assert "encoder/cbhg/bigru/fwd/gates_x/kernel" in \
+        "\n".join(out["unmatched_ours"])

@@ -140,3 +140,11 @@ class TestConfig:
             apply_overrides(cfg, ["model.nonexistent=1"])
         with pytest.raises(ValueError, match="section.key"):
             apply_overrides(cfg, ["batch_size=64"])
+        # Python-style booleans coerce (json only accepts lowercase); a bool
+        # field never silently receives a truthy string
+        cfg = apply_overrides(cfg, ["model.remat_decoder=False",
+                                    "infer.early_exit=True"])
+        assert cfg.model.remat_decoder is False
+        assert cfg.infer.early_exit is True
+        with pytest.raises(ValueError, match="boolean flag"):
+            apply_overrides(cfg, ["model.remat_decoder=off"])
