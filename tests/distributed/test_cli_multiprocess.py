@@ -21,6 +21,13 @@ import pytest
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 
 
+def _free_port():
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def _env(n_local_devices=2):
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO  # drops sitecustomize -> CPU backend
@@ -43,7 +50,7 @@ def test_train_cli_two_processes(tmp_path):
         capture_output=True, text=True, timeout=300, env=_env(1), cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
 
-    port = "12361"
+    port = _free_port()
     procs = [
         subprocess.Popen(
             [sys.executable, "-m", "tacotron_tpu.cli.train",
@@ -51,6 +58,10 @@ def test_train_cli_two_processes(tmp_path):
              "--preset", "tiny_cpu", "--batch-size", "4", "--num-buckets", "1",
              "--steps", "6", "--summary-every", "3", "--checkpoint-every", "6",
              "--debug-sync",
+             # multi-host eval: ALL processes join the param gather
+             # (collective), only host 0 synthesizes — the round-2 fix for
+             # the single-process-jit-on-sharded-state crash
+             "--eval-every", "4", "--eval-text", "ab",
              "--coordinator", f"127.0.0.1:{port}",
              "--num-processes", "2", "--process-id", str(pid)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
