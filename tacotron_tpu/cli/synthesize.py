@@ -18,7 +18,11 @@ def main(argv=None):
     p.add_argument("--run-dir", required=True)
     p.add_argument("--data-dir", required=True)
     p.add_argument("--out-dir", required=True)
-    p.add_argument("--text", action="append", required=True)
+    p.add_argument("--text", action="append", default=None,
+                   help="prompt (repeatable)")
+    p.add_argument("--text-file", default=None,
+                   help="file with one prompt per line (blank lines skipped); "
+                        "combines with --text")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--gl-iters", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
@@ -45,6 +49,12 @@ def main(argv=None):
         p.error("--fused cannot combine with --early-exit/--trim (the fused "
                 "kernel decodes a fixed length; the flags' savings would "
                 "silently not happen)")
+    texts = list(args.text or [])
+    if args.text_file:
+        with open(args.text_file) as f:
+            texts += [ln.strip() for ln in f if ln.strip()]
+    if not texts:
+        p.error("no prompts: pass --text and/or --text-file")
 
     import jax
 
@@ -80,7 +90,7 @@ def main(argv=None):
     synth = Synthesizer(cfg, state.params, state.batch_stats, vocab,
                         fused=args.fused, mesh=mesh)
     t0 = time.time()
-    out = synth(args.text, n_steps=args.steps, gl_iters=args.gl_iters,
+    out = synth(texts, n_steps=args.steps, gl_iters=args.gl_iters,
                 seed=args.seed)
     dt = time.time() - t0
 
