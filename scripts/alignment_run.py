@@ -63,6 +63,9 @@ def main():
                         "positional alignment (the r1 probe's flat-attention "
                         "failure mode was exactly single-batch memorisation)")
     p.add_argument("--platform", default=None)
+    p.add_argument("--preset", default="tiny_cpu",
+                   help="model preset; 'full_1chip' = the flagship 256-d r=2 "
+                        "architecture (fast on TPU, hours on CPU)")
     p.add_argument("--out", default="artifacts/alignment")
     p.add_argument("--log-every", type=int, default=100)
     args = p.parse_args()
@@ -88,7 +91,7 @@ def main():
                         os.path.join(root, "data"), acfg, chunk=8)
     ds = Dataset(os.path.join(root, "data"))
 
-    cfg = get_config("tiny_cpu")
+    cfg = get_config(args.preset)
     cfg = dataclasses.replace(
         cfg, audio=acfg,
         model=dataclasses.replace(cfg.model,
