@@ -43,6 +43,9 @@ def main():
     p.add_argument("--t-in", type=int, default=128)
     p.add_argument("--t-out", type=int, default=400)
     p.add_argument("--platform", default=None)
+    p.add_argument("--fused", action="store_true",
+                   help="synth metric: decode through the fused Pallas "
+                        "decode-loop kernel instead of the XLA scan")
     p.add_argument("--metric", default="train", choices=["train", "synth"],
                    help="train = frames/s/chip (primary); synth = end-to-end "
                         "audio-seconds synthesized per second @ GL1000")
@@ -102,11 +105,49 @@ def main():
             text, lens, gt_mel=jnp.zeros((b, 2 * cfg.model.r, cfg.model.n_mels)),
         )
 
-        @jax.jit
-        def synth(v, text, lens, rng):
-            out = model.apply(v, text, lens, n_steps=n_steps,
-                              rngs={"dropout": rng})
-            return inv_spectrogram(out.linear, cfg.audio, n_iter=args.gl_iters)
+        if args.fused:
+            from tacotron_tpu.models.encoder import Encoder
+            from tacotron_tpu.models.postnet import PostNet
+            from tacotron_tpu.ops.pallas.decode_loop import (
+                decode_loop, pack_decoder_weights,
+            )
+
+            encoder = Encoder(cfg.model, train=False)
+            postnet = PostNet(cfg.model, train=False)
+            # CPU smoke: interpret the kernel; its PRNG has no CPU lowering,
+            # so prenet dropout is off there (same policy as the Synthesizer)
+            interp = jax.default_backend() == "cpu"
+            use_dropout = cfg.model.prenet_dropout > 0 and not interp
+
+            @jax.jit
+            def synth(variables, text, lens, rng):
+                v, bs = variables["params"], variables["batch_stats"]
+                memory = encoder.apply(
+                    {"params": v["encoder"], "batch_stats": bs["encoder"]},
+                    text, lens, rngs={"dropout": rng})
+                keys = memory @ v["memory_proj"]["kernel"]
+                mask = jnp.arange(text.shape[1])[None, :] < lens[:, None]
+                w = pack_decoder_weights(v["decoder"]["cell"])
+                seed = jax.random.randint(rng, (), 0, 2**31 - 1)
+                frames, _ = decode_loop(
+                    memory, keys, mask, w, n_steps=n_steps, seed=seed,
+                    dropout=use_dropout,
+                    dropout_rate=cfg.model.prenet_dropout,
+                    collect_alignments=False, interpret=interp)
+                mel = frames.reshape(text.shape[0],
+                                     n_steps * cfg.model.r, cfg.model.n_mels)
+                linear = postnet.apply(
+                    {"params": v["postnet"], "batch_stats": bs["postnet"]},
+                    mel)
+                return inv_spectrogram(linear, cfg.audio,
+                                       n_iter=args.gl_iters)
+        else:
+            @jax.jit
+            def synth(v, text, lens, rng):
+                out = model.apply(v, text, lens, n_steps=n_steps,
+                                  rngs={"dropout": rng})
+                return inv_spectrogram(out.linear, cfg.audio,
+                                       n_iter=args.gl_iters)
 
         wav = synth(variables, text, lens, jax.random.PRNGKey(3))
         float(jnp.sum(jnp.abs(wav)))  # force (axon: block_until_ready unreliable)
