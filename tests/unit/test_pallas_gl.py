@@ -159,3 +159,15 @@ def test_kernel_bf16_converges_like_f32():
 
     e_ref, e_got = mag_err(ref), mag_err(got)
     assert e_got < e_ref * 1.05 + 1e-3, (e_got, e_ref)
+
+
+def test_too_short_signal_raises_valueerror():
+    """2-4-frame magnitudes cannot centre-reflect (source index would leave
+    the interior); must be a ValueError with the true minimum, not an assert."""
+    # production geometry (2048/275): minimum is 5 frames
+    with pytest.raises(ValueError, match="n_frames >= 5"):
+        _gl_plan(2048, 275, 1102, n_frames=4)
+    # this file's small geometry (256/48): minimum is 4
+    with pytest.raises(ValueError, match="n_frames >= 4"):
+        _gl_plan(KW["n_fft"], KW["hop_length"], KW["win_length"], n_frames=3)
+    _gl_plan(KW["n_fft"], KW["hop_length"], KW["win_length"], n_frames=4)
