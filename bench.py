@@ -17,7 +17,9 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import re
+import sys
 import time
 
 
@@ -69,6 +71,27 @@ def main():
     from tacotron_tpu.utils.profiling import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # Preflight with a hard deadline: the axon TPU tunnel has been observed to
+    # die mid-round (relay process gone -> every device op blocks forever,
+    # even a 128x128 matmul). Failing fast with a diagnostic beats hanging the
+    # caller indefinitely. 600 s is far above a healthy first-compile.
+    import threading
+
+    done = threading.Event()
+
+    def _probe():
+        float(jnp.sum(jnp.ones((128, 128)) @ jnp.ones((128, 128))))
+        done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    deadline = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "600"))
+    if not done.wait(timeout=deadline):
+        print(json.dumps({"error": f"device preflight timed out after "
+                          f"{deadline:.0f}s — accelerator tunnel unreachable "
+                          "(see BASELINE.md axon notes); no measurement "
+                          "taken"}), file=sys.stderr)
+        os._exit(3)
 
     from tacotron_tpu.config import apply_overrides, get_config
     from tacotron_tpu.parallel import make_mesh, shard_batch
