@@ -67,6 +67,13 @@ def main():
     print(f"pallas : {t_pl*1e3:8.1f} ms total  {t_pl/n_iter*1e3:6.2f} ms/iter"
           f"  {audio_sec/t_pl:7.1f} audio-sec/s   speedup {t_mm/t_pl:.2f}x")
 
+    # gather-OLA A/B: aligned output stores / unaligned spectrum loads
+    # (scatter does m sublane-unaligned f32 RMWs per frame tile instead)
+    t_ga = timed(lambda: griffin_lim_pallas(mag, **KW, n_iter=n_iter,
+                                            ola="gather"))
+    print(f"gather : {t_ga*1e3:8.1f} ms total  {t_ga/n_iter*1e3:6.2f} ms/iter"
+          f"  {audio_sec/t_ga:7.1f} audio-sec/s   vs scatter {t_pl/t_ga:.2f}x")
+
     w_mm = griffin_lim_mm(mag, **KW, n_iter=n_iter)
     w_pl = griffin_lim_pallas(mag, **KW, n_iter=n_iter)
     e_mm, e_pl = mag_err(w_mm, mag), mag_err(w_pl, mag)

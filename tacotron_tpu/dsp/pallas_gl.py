@@ -228,7 +228,7 @@ _FRAME_TILE = 128   # frame rows per tile; bounds the VMEM value stack
 def _iteration_body(plan: _GLPlan, beta: float, mdtype,
                     src, prev, mag_at, dst, save_prev,
                     ecat_ref, rots, win, invwss,
-                    p_ref, mask_ref, y_scr, yp_scr):
+                    p_ref, mask_ref, y_scr, yp_scr, ola: str = "scatter"):
     """One Griffin-Lim projection on VMEM-resident refs, frame-tiled.
 
     Accessors (all slices static, over frame tiles of <= _FRAME_TILE rows):
@@ -246,31 +246,73 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
     temporaries keep the stack < ~3 MB. Half-spectrum arrays throughout —
     the complex chunk rotation is 4 half-width multiplies instead of
     full-width swaps/concats.
+
+    `ola` selects the overlap-add formulation for the synthesis pass:
+
+    * "scatter" (default): per frame tile, each chunk j is accumulated into
+      y_scr rows [j+t0, j+t0+ft) — a sublane-UNALIGNED (offset j mod 8)
+      read-modify-write of (ft, hop) f32 per (tile, chunk).
+    * "gather": iterate over ALIGNED output row tiles of y_scr; for each
+      output tile, pull the m contributing spectrum windows (rows [b0-j, ...),
+      unaligned bf16 LOADS), accumulate in a register value, and issue ONE
+      aligned store per tile. Same MACs and same f32 accumulation order per
+      output row, so results are bitwise-comparable up to matmul batching;
+      trades m unaligned f32 RMWs for m unaligned half-width loads.
     """
     f, m, hop = plan.f_pad, plan.m, plan.hop
     cos_a, sin_a, syn_c, syn_s = rots
     tiles = [(t0, min(_FRAME_TILE, f - t0))
              for t0 in range(0, f, _FRAME_TILE)]
 
-    # ---- synthesis: blocked iSTFT via m row-shifted chunk matmuls
-    y_scr[:] = jnp.zeros(y_scr.shape, jnp.float32)
-    for t0, ft in tiles:
+    def extrapolate(t0, ft):
         re32, im32 = (x.astype(jnp.float32) for x in src(t0, ft))
         if beta:
             pre, pim = prev(t0, ft)
             re32 = re32 + beta * (re32 - pre.astype(jnp.float32))
             im32 = im32 + beta * (im32 - pim.astype(jnp.float32))
-        for j in range(m):
-            # [rot_re | rot_im] (ft, 2*s_half) against the fused positional
-            # matrix: ONE MXU op per chunk instead of a cos+sin pair
-            rot2 = jnp.concatenate(
-                [(re32 * syn_c[j:j + 1] - im32 * syn_s[j:j + 1]),
-                 (re32 * syn_s[j:j + 1] + im32 * syn_c[j:j + 1])],
-                axis=1).astype(mdtype)
-            chunk = jax.lax.dot_general(
-                rot2, ecat_ref[:], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (ft, hop)
-            y_scr[j + t0:j + t0 + ft] += chunk * win[j:j + 1, :]
+        return re32, im32
+
+    def chunk_matmul(re32, im32, j):
+        # [rot_re | rot_im] (ft, 2*s_half) against the fused positional
+        # matrix: ONE MXU op per chunk instead of a cos+sin pair
+        rot2 = jnp.concatenate(
+            [(re32 * syn_c[j:j + 1] - im32 * syn_s[j:j + 1]),
+             (re32 * syn_s[j:j + 1] + im32 * syn_c[j:j + 1])],
+            axis=1).astype(mdtype)
+        return jax.lax.dot_general(
+            rot2, ecat_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (ft, hop)
+
+    # ---- synthesis: blocked iSTFT via m hop-chunk matmuls per frame
+    if ola == "gather":
+        nb = plan.n_blocks
+        for b0 in range(0, nb, _FRAME_TILE):
+            bt = min(_FRAME_TILE, nb - b0)
+            acc = jnp.zeros((bt, hop), jnp.float32)
+            for j in range(m):
+                lo, hi = b0 - j, b0 - j + bt            # frame-row window
+                lo_c, hi_c = max(lo, 0), min(hi, f)     # clip to real rows
+                if hi_c <= lo_c:
+                    continue
+                re32, im32 = extrapolate(lo_c, hi_c - lo_c)
+                chunk = chunk_matmul(re32, im32, j) * win[j:j + 1, :]
+                top, bot = lo_c - lo, hi - hi_c         # clipped rows = zero
+                if top or bot:
+                    parts = [chunk]
+                    if top:
+                        parts.insert(0, jnp.zeros((top, hop), jnp.float32))
+                    if bot:
+                        parts.append(jnp.zeros((bot, hop), jnp.float32))
+                    chunk = jnp.concatenate(parts, axis=0)
+                acc = acc + chunk
+            y_scr[b0:b0 + bt] = acc                     # one ALIGNED store
+    else:
+        y_scr[:] = jnp.zeros(y_scr.shape, jnp.float32)
+        for t0, ft in tiles:
+            re32, im32 = extrapolate(t0, ft)
+            for j in range(m):
+                chunk = chunk_matmul(re32, im32, j)
+                y_scr[j + t0:j + t0 + ft] += chunk * win[j:j + 1, :]
 
     # ---- window-sum-square normalise (edges included, matching istft)
     yp_scr[:] = y_scr[:] * invwss
@@ -335,7 +377,8 @@ def _flops_iter(plan: _GLPlan, batch: int) -> int:
 
 
 def _make_gl_call_fused(plan: _GLPlan, batch: int, beta: float, n_iter: int,
-                        mdtype=jnp.bfloat16, interpret: bool = False):
+                        mdtype=jnp.bfloat16, interpret: bool = False,
+                        ola: str = "scatter"):
     """Whole-loop kernel: ALL `n_iter` GL iterations in one launch, grid over
     batch. The only HBM traffic per utterance is the f32 magnitude in and the
     final mdtype spectrum halves out, both moved by explicit single-buffered
@@ -397,7 +440,7 @@ def _make_gl_call_fused(plan: _GLPlan, batch: int, beta: float, n_iter: int,
             _iteration_body(
                 plan, beta, mdtype, src, prev, mag_at, dst, save_prev,
                 ecat_ref, rots, win, invwss, p_ref, mask_ref,
-                y_scr, yp_scr)
+                y_scr, yp_scr, ola=ola)
             return carry
 
         jax.lax.fori_loop(0, n_iter, body, 0)
@@ -450,7 +493,7 @@ def _make_gl_call_fused(plan: _GLPlan, batch: int, beta: float, n_iter: int,
 
 
 def _make_gl_call(plan: _GLPlan, batch: int, mdtype=jnp.bfloat16,
-                  interpret: bool = False):
+                  interpret: bool = False, ola: str = "scatter"):
     """Segmented kernel: ONE GL iteration per launch, spectrum carried through
     HBM between launches via pipelined VMEM block specs. Test/fallback path
     (inner=1 streams every iteration); the production path is
@@ -484,7 +527,7 @@ def _make_gl_call(plan: _GLPlan, batch: int, mdtype=jnp.bfloat16,
         _iteration_body(
             plan, 0.0, mdtype, src, None, mag_at, dst, noop,
             ecat_ref, rots, win_ref[:], invwss_ref[:],
-            p_ref, mask_ref, y_scr, yp_scr)
+            p_ref, mask_ref, y_scr, yp_scr, ola=ola)
 
     half = pl.BlockSpec((1, f, s_half), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
@@ -515,19 +558,22 @@ def _make_gl_call(plan: _GLPlan, batch: int, mdtype=jnp.bfloat16,
 @functools.partial(
     jax.jit,
     static_argnames=("n_fft", "hop_length", "win_length", "n_iter", "length",
-                     "momentum", "inner", "lowp", "interpret"),
+                     "momentum", "inner", "lowp", "interpret", "ola"),
 )
 def griffin_lim_pallas(magnitude: jax.Array, *, n_fft: int, hop_length: int,
                        win_length: int, n_iter: int = 60,
                        length: int | None = None, momentum: float = 0.0,
                        inner: int | None = None, lowp: bool = True,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       ola: str = "scatter") -> jax.Array:
     """Griffin-Lim phase recovery with the fused Pallas iteration kernel.
 
     Drop-in equivalent of dsp/dft.py:griffin_lim_mm (same zero-phase init,
     same projection, same momentum extrapolation, final iSTFT in f32).
     `inner`: GL iterations per kernel launch (None = all of them: the carried
     spectrum never leaves VMEM; 1 = stream it per iteration, used in tests).
+    `ola`: overlap-add formulation, "scatter" (default) or "gather" — see
+    `_iteration_body`; numerically equivalent, A/B-able for MXU utilisation.
     """
     mag = magnitude.astype(jnp.float32)
     *batch_dims, f, n_bins = mag.shape
@@ -557,14 +603,15 @@ def griffin_lim_pallas(magnitude: jax.Array, *, n_fft: int, hop_length: int,
     if inner is None:
         # production path: whole loop in one launch, init computed in-kernel
         call = _make_gl_call_fused(plan, b, beta, n_iter, mdtype=mdtype,
-                                   interpret=interpret)
+                                   interpret=interpret, ola=ola)
         re_f, im_f = call(mag_p, *consts)
     else:
         # streaming path: one launch per iteration, spectrum through HBM
         assert inner == 1, "segmented kernel streams one iteration per launch"
         # segmented momentum would reset `prev` at segment boundaries
         assert beta == 0.0, "momentum requires inner=None"
-        call = _make_gl_call(plan, b, mdtype=mdtype, interpret=interpret)
+        call = _make_gl_call(plan, b, mdtype=mdtype, interpret=interpret,
+                             ola=ola)
 
         def body(_, carry):
             return call(carry[0], carry[1], mag_p, *consts)

@@ -161,6 +161,23 @@ def test_kernel_bf16_converges_like_f32():
     assert e_got < e_ref * 1.05 + 1e-3, (e_got, e_ref)
 
 
+@pytest.mark.parametrize("momentum", [0.0, 0.9])
+def test_gather_ola_matches_scatter(momentum):
+    """The gather-OLA synthesis formulation (aligned output stores, unaligned
+    spectrum loads) must match the default scatter formulation. t=8192 gives
+    ~171 frames = two _FRAME_TILE tiles, exercising the clipped top/bottom
+    chunk windows at tile boundaries as well as at the signal edges."""
+    mag = _mag(batch=1, t=8192, seed=5)
+    n_iter = 3
+    want = griffin_lim_pallas(mag, **KW, n_iter=n_iter, momentum=momentum,
+                              lowp=False, interpret=True)
+    got = griffin_lim_pallas(mag, **KW, n_iter=n_iter, momentum=momentum,
+                             lowp=False, interpret=True, ola="gather")
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale, atol=1e-5)
+
+
 def test_too_short_signal_raises_valueerror():
     """2-4-frame magnitudes cannot centre-reflect (source index would leave
     the interior); must be a ValueError with the true minimum, not an assert."""
