@@ -79,9 +79,13 @@ def main():
     import threading
 
     done = threading.Event()
+    probe_error: list[BaseException] = []
 
     def _probe():
-        float(jnp.sum(jnp.ones((128, 128)) @ jnp.ones((128, 128))))
+        try:
+            float(jnp.sum(jnp.ones((128, 128)) @ jnp.ones((128, 128))))
+        except BaseException as e:  # surface instead of masquerading as a hang
+            probe_error.append(e)
         done.set()
 
     threading.Thread(target=_probe, daemon=True).start()
@@ -91,6 +95,11 @@ def main():
                           f"{deadline:.0f}s — accelerator tunnel unreachable "
                           "(see BASELINE.md axon notes); no measurement "
                           "taken"}), file=sys.stderr)
+        os._exit(3)
+    if probe_error:
+        print(json.dumps({"error": f"device preflight failed: "
+                          f"{probe_error[0]!r}; no measurement taken"}),
+              file=sys.stderr)
         os._exit(3)
 
     from tacotron_tpu.config import apply_overrides, get_config

@@ -121,6 +121,8 @@ def inv_spectrogram(
     else:  # matmul-DFT on the MXU (see dsp/dft.py)
         from tacotron_tpu.dsp.dft import griffin_lim_mm
 
-        y = griffin_lim_mm(mag, lowp=(cfg.gl_backend == "mm"),
+        # lowp keys off the EFFECTIVE backend so the pallas->mm CPU fallback
+        # runs the same bf16 spectral-carry path the pallas-parity tests use
+        y = griffin_lim_mm(mag, lowp=(backend == "mm"),
                            momentum=cfg.gl_momentum, **kw)
     return inv_preemphasis(y, cfg.preemphasis)

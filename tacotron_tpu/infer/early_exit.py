@@ -25,9 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from tacotron_tpu.ops.attention import NEG_INF
 from tacotron_tpu.ops.pallas.decode_loop import DecoderWeights, _gru_step
-
-NEG_INF = -1e9
 
 
 def end_frames(mel: np.ndarray, threshold: float = 0.05,

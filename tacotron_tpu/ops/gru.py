@@ -102,9 +102,14 @@ class _ScanGRU(nn.Module):
 
         def step(h, inp):
             gx_t, cx_t = inp
-            ru = jax.nn.sigmoid((gx_t + h.astype(cd) @ wg_h_c).astype(f32))
+            # f32 accumulation for the recurrent matmuls under bf16 compute,
+            # matching the stacked-bigru step and the Pallas _gru_step
+            rec_g = jnp.matmul(h.astype(cd), wg_h_c, preferred_element_type=f32)
+            ru = jax.nn.sigmoid((gx_t + rec_g).astype(f32))
             r, u = jnp.split(ru, 2, axis=-1)
-            c = jnp.tanh((cx_t + (r * h).astype(cd) @ wc_h_c).astype(f32))
+            rec_c = jnp.matmul((r * h).astype(cd), wc_h_c,
+                               preferred_element_type=f32)
+            c = jnp.tanh((cx_t + rec_c).astype(f32))
             h_new = u * h + (1.0 - u) * c
             return h_new, h_new
 

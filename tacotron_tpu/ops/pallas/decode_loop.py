@@ -107,6 +107,7 @@ def _make_kernel(n_steps: int, n_mels: int, r: int, dropout: bool,
     # numpy scalar, NOT jnp: a jnp constant would be a captured traced array,
     # which pallas_call rejects on the TPU (non-interpret) path.
     import numpy as np
+    dropout = dropout and dropout_rate > 0.0  # rate 0 must be a true no-op
     keep_prob = 1.0 - dropout_rate
     keep_threshold = np.uint32(min(int(keep_prob * 2.0**32), 2**32 - 1))
     keep_scale = 1.0 / keep_prob if keep_prob > 0 else 0.0
