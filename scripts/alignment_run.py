@@ -68,6 +68,10 @@ def main():
                         "architecture (fast on TPU, hours on CPU)")
     p.add_argument("--out", default="artifacts/alignment")
     p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="also score + write artifacts every N steps (0 = only "
+                        "at the end) — a truncated long run still leaves "
+                        "evidence on disk")
     args = p.parse_args()
 
     import jax
@@ -114,6 +118,49 @@ def main():
     step = make_train_step(cfg)
 
     curve = []
+    tl = np.asarray(b.text_len)
+    fl = np.asarray(b.frame_len)
+    os.makedirs(args.out, exist_ok=True)
+
+    def score_and_save(state, at_step):
+        # alignments on the FIXED eval batch (in minibatch mode the training
+        # `al` came from whatever batch the last step drew)
+        state, m, al = step(state, *eval_batch)
+        al_np = np.asarray(al)                # (B, dec_steps, T_in)
+        scores = [monotonicity(al_np[j], int(tl[j]),
+                               int(fl[j]) // cfg.model.r)
+                  for j in range(len(tl))]
+        summary = {
+            "steps": at_step,
+            "n_utts": args.n_utts,
+            "text_len": args.text_len,
+            "final": curve[-1] if curve else None,
+            "monotonic_frac_mean": float(np.mean([s["monotonic_frac"] for s in scores])),
+            "monotonic_frac_min": float(np.min([s["monotonic_frac"] for s in scores])),
+            "diag_corr_mean": float(np.mean([s["diag_corr"] for s in scores])),
+            "diag_corr_min": float(np.min([s["diag_corr"] for s in scores])),
+            "per_utt": scores,
+            "curve": curve,
+            "backend": jax.default_backend(),
+        }
+        with open(os.path.join(args.out, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=1)
+        np.save(os.path.join(args.out, "final_alignments.npy"), al_np)
+        # heatmap of the first utterance's active region
+        img = plot_alignment(al_np[0, :int(fl[0]) // cfg.model.r, :int(tl[0])],
+                             title=f"char-tone utt0 @ step {at_step}")
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            plt.imsave(os.path.join(args.out, "alignment_utt0.png"), img)
+        except Exception as e:  # keep the npy artifact even if PNG fails
+            print("png save failed:", e)
+        print(json.dumps({k: summary[k] for k in
+                          ("monotonic_frac_mean", "diag_corr_mean", "final")}),
+              flush=True)
+        return state
+
     for i in range(1, args.steps + 1):
         batch = eval_batch if args.batch_size == 0 else to_dev(next(it))
         state, m, al = step(state, *batch)
@@ -126,46 +173,10 @@ def main():
             curve.append(row)
             print(f"step {i:5d}  loss {row['total_loss']:.4f}  "
                   f"mel {row['mel_loss']:.4f}  entropy {ent:.3f}", flush=True)
+        if args.save_every and i % args.save_every == 0 and i < args.steps:
+            state = score_and_save(state, i)
 
-    # final alignments on the FIXED eval batch (in minibatch mode `al` above
-    # came from whatever batch the last step drew)
-    state, m, al = step(state, *eval_batch)
-    al_np = np.asarray(al)                    # (B, dec_steps, T_in)
-    tl = np.asarray(b.text_len)
-    fl = np.asarray(b.frame_len)
-    scores = [monotonicity(al_np[j], int(tl[j]),
-                           int(fl[j]) // cfg.model.r) for j in range(len(tl))]
-    summary = {
-        "steps": args.steps,
-        "n_utts": args.n_utts,
-        "text_len": args.text_len,
-        "final": curve[-1],
-        "monotonic_frac_mean": float(np.mean([s["monotonic_frac"] for s in scores])),
-        "monotonic_frac_min": float(np.min([s["monotonic_frac"] for s in scores])),
-        "diag_corr_mean": float(np.mean([s["diag_corr"] for s in scores])),
-        "diag_corr_min": float(np.min([s["diag_corr"] for s in scores])),
-        "per_utt": scores,
-        "curve": curve,
-        "backend": jax.default_backend(),
-    }
-
-    os.makedirs(args.out, exist_ok=True)
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=1)
-    np.save(os.path.join(args.out, "final_alignments.npy"), al_np)
-    # heatmap of the first utterance's active region
-    img = plot_alignment(al_np[0, :int(fl[0]) // cfg.model.r, :int(tl[0])],
-                         title=f"char-tone utt0 @ step {args.steps}")
-    try:
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-        plt.imsave(os.path.join(args.out, "alignment_utt0.png"), img)
-    except Exception as e:  # keep the npy artifact even if PNG fails
-        print("png save failed:", e)
-
-    print(json.dumps({k: summary[k] for k in
-                      ("monotonic_frac_mean", "diag_corr_mean", "final")}))
+    score_and_save(state, args.steps)
 
 
 if __name__ == "__main__":
