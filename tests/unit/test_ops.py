@@ -285,3 +285,19 @@ class TestStackedBiGRU:
         y_st = bidirectional_gru(d, stacked=True).apply(params, xs)
         np.testing.assert_allclose(np.asarray(y_st), np.asarray(y_ref),
                                    rtol=1e-5, atol=1e-6)
+
+    def test_stacked_matches_two_scan_bf16(self):
+        """Under bf16 compute both layouts accumulate recurrent matmuls in
+        f32, so they must agree to bf16 rounding, not drift apart."""
+        b, t, d_in, d = 3, 9, 5, 6
+        xs = jax.random.normal(jax.random.PRNGKey(0), (b, t, d_in))
+        lengths = jnp.array([9, 6, 4])
+        m_ref = bidirectional_gru(d, stacked=False, dtype=jnp.bfloat16)
+        params = m_ref.init(jax.random.PRNGKey(1), xs, lengths=lengths)
+        y_ref = m_ref.apply(params, xs, lengths=lengths)
+        y_st = bidirectional_gru(d, stacked=True, dtype=jnp.bfloat16).apply(
+            params, xs, lengths=lengths)
+        assert jnp.isfinite(y_st.astype(jnp.float32)).all()
+        np.testing.assert_allclose(
+            np.asarray(y_st, np.float32), np.asarray(y_ref, np.float32),
+            rtol=2e-2, atol=1e-2)

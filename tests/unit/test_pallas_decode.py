@@ -104,6 +104,20 @@ def test_fused_decode_respects_mask(setup):
     np.testing.assert_allclose(a.sum(-1), np.ones(a.shape[:2]), atol=1e-4)
 
 
+def test_dropout_rate_zero_is_true_noop(setup):
+    """dropout=True with rate 0 must emit NO PRNG masking at all — it compiles
+    without the TPU PRNG (so it even runs in interpret mode) and matches the
+    dropout=False path bit-for-bit."""
+    model, variables, text, lengths = setup
+    memory, keys, mask = _encoder_outputs(model, variables, text, lengths)
+    w = pack_decoder_weights(variables["params"]["decoder"]["cell"])
+    f_off, _ = decode_loop(memory, keys, mask, w, n_steps=3, dropout=False,
+                           interpret=True)
+    f_r0, _ = decode_loop(memory, keys, mask, w, n_steps=3, seed=7,
+                          dropout=True, dropout_rate=0.0, interpret=True)
+    np.testing.assert_array_equal(np.asarray(f_off), np.asarray(f_r0))
+
+
 @pytest.mark.skip(reason="pltpu.prng_seed has no CPU interpret lowering; "
                          "covered by the TPU smoke script (scripts/tpu_smoke.py)")
 def test_dropout_changes_output_with_seed(setup):
