@@ -107,6 +107,13 @@ class _GLPlan:
     syn_c: np.ndarray           # (m, s_half) f32 cos(a_j k) * w_k/N
     syn_s: np.ndarray           # (m, s_half) f32 sin(a_j k) * w_k/N
     win_chunks: np.ndarray      # (m, hop) f32 padded analysis/synthesis window
+    active_chunks: tuple[int, ...]  # chunks with a nonzero window: every other
+                                # chunk's synthesis AND analysis matmul is
+                                # multiplied by win == 0, so both passes skip
+                                # it statically. At the production geometry
+                                # (2048/275/1102, lpad 473) chunks {0, 6, 7}
+                                # of 8 are dead — a 3/8 MAC cut on the
+                                # kernel's dominant cost
     invwss: np.ndarray          # (n_blocks, hop) f32, zero beyond signal end
     p_mats: np.ndarray          # (n_p, hop, hop) f32 reversal permutations
     refl_rows: tuple[_ReflectRow, ...]
@@ -216,9 +223,10 @@ def _gl_plan(n_fft: int, hop: int, win_length: int, n_frames: int) -> _GLPlan:
     invwss[ty:] = 0.0
 
     p_mats, refl_rows, refl_masks = _reflect_plan(n_fft, hop, n_frames)
+    active = tuple(j for j in range(m) if win_chunks[j].any())
     return _GLPlan(n_fft, hop, win_length, n_frames, f_pad, m, n_blocks,
                    s_half, s, e_cat, cos_a, sin_a, syn_c, syn_s,
-                   win_chunks, invwss.reshape(n_blocks, hop),
+                   win_chunks, active, invwss.reshape(n_blocks, hop),
                    p_mats, refl_rows, refl_masks)
 
 
@@ -289,7 +297,7 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
         for b0 in range(0, nb, _FRAME_TILE):
             bt = min(_FRAME_TILE, nb - b0)
             acc = jnp.zeros((bt, hop), jnp.float32)
-            for j in range(m):
+            for j in plan.active_chunks:   # zero-window chunks contribute 0
                 lo, hi = b0 - j, b0 - j + bt            # frame-row window
                 lo_c, hi_c = max(lo, 0), min(hi, f)     # clip to real rows
                 if hi_c <= lo_c:
@@ -310,7 +318,7 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
         y_scr[:] = jnp.zeros(y_scr.shape, jnp.float32)
         for t0, ft in tiles:
             re32, im32 = extrapolate(t0, ft)
-            for j in range(m):
+            for j in plan.active_chunks:   # zero-window chunks contribute 0
                 chunk = chunk_matmul(re32, im32, j)
                 y_scr[j + t0:j + t0 + ft] += chunk * win[j:j + 1, :]
 
@@ -337,7 +345,7 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
     for t0, ft in tiles:
         acc_re = jnp.zeros((ft, plan.s_half), jnp.float32)
         acc_im = jnp.zeros((ft, plan.s_half), jnp.float32)
-        for j in range(m):
+        for j in plan.active_chunks:       # win == 0 makes seg == 0
             seg = (yp_scr[j + t0:j + t0 + ft, :] * win[j:j + 1, :]
                    ).astype(mdtype)
             # one (ft, hop) x (hop, 2*s_half) op; split the aligned halves
@@ -372,8 +380,8 @@ def _const_specs(plan: _GLPlan):
 
 
 def _flops_iter(plan: _GLPlan, batch: int) -> int:
-    # 2 passes (synth+analysis), 2 flop/MAC
-    return 4 * plan.f_pad * plan.m * plan.hop * plan.s * batch
+    # 2 passes (synth+analysis), 2 flop/MAC; only live (nonzero-window) chunks
+    return 4 * plan.f_pad * len(plan.active_chunks) * plan.hop * plan.s * batch
 
 
 def _make_gl_call_fused(plan: _GLPlan, batch: int, beta: float, n_iter: int,

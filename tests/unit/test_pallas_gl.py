@@ -188,3 +188,20 @@ def test_too_short_signal_raises_valueerror():
     with pytest.raises(ValueError, match="n_frames >= 4"):
         _gl_plan(KW["n_fft"], KW["hop_length"], KW["win_length"], n_frames=3)
     _gl_plan(KW["n_fft"], KW["hop_length"], KW["win_length"], n_frames=4)
+
+
+def test_dead_window_chunks_are_skipped():
+    """Chunks whose window slice is all zero are statically dropped from both
+    passes; the remaining chunks must still cover every nonzero window row.
+    At the production geometry (2048/275/1102) 3 of 8 chunks are dead."""
+    plan = _gl_plan(KW["n_fft"], KW["hop_length"], KW["win_length"], 40)
+    assert plan.active_chunks == (0, 1, 2, 3, 4)     # chunk 5 dead (win end 223)
+    prod = _gl_plan(2048, 275, 1102, 408)
+    assert prod.active_chunks == (1, 2, 3, 4, 5)     # 0, 6, 7 dead (lpad 473)
+    for p in (plan, prod):
+        live = np.zeros(p.m * p.hop, bool)
+        for j in p.active_chunks:
+            live[j * p.hop:(j + 1) * p.hop] = True
+        w = p.win_chunks.reshape(-1)
+        assert not w[~live].any()                    # dropped rows truly zero
+        assert w[live].any()
