@@ -77,8 +77,9 @@ def main():
     per_iter_p = (t_p100 - t_p50) / 50
     plan = _gl_plan(kw["n_fft"], kw["hop_length"], kw["win_length"], frames)
     # true MXU work of the hop-chunk factorisation (see pallas_gl._flops_iter):
-    # synthesis + analysis, m chunks, (frames, s_half) x (s_half, hop) each
-    fl_p = 4 * plan.f_pad * plan.m * plan.hop * plan.s * B
+    # synthesis + analysis, LIVE (nonzero-window) chunks only,
+    # (frames, s_half) x (s_half, hop) each
+    fl_p = 4 * plan.f_pad * len(plan.active_chunks) * plan.hop * plan.s * B
     # HBM traffic amortises to ~zero: the spectrum carry lives in VMEM across
     # all iterations; charge the one-time mag in + spectrum out over 50 iters
     byts_p = B * plan.f_pad * plan.s_half * (4 + 2 * 2) / 50
