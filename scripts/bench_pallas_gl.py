@@ -74,6 +74,17 @@ def main():
     print(f"gather : {t_ga*1e3:8.1f} ms total  {t_ga/n_iter*1e3:6.2f} ms/iter"
           f"  {audio_sec/t_ga:7.1f} audio-sec/s   vs scatter {t_pl/t_ga:.2f}x")
 
+    # lane-trimmed boundary chunks (spans [128,275) and [0,256) at this
+    # geometry): guarded so a Mosaic lowering failure doesn't kill the run
+    try:
+        t_tr = timed(lambda: griffin_lim_pallas(mag, **KW, n_iter=n_iter,
+                                                trim_chunks=True))
+        print(f"trim   : {t_tr*1e3:8.1f} ms total  {t_tr/n_iter*1e3:6.2f} "
+              f"ms/iter  {audio_sec/t_tr:7.1f} audio-sec/s   "
+              f"vs untrimmed {t_pl/t_tr:.2f}x")
+    except Exception as e:
+        print(f"trim   : FAILED ({type(e).__name__}: {e})")
+
     w_mm = griffin_lim_mm(mag, **KW, n_iter=n_iter)
     w_pl = griffin_lim_pallas(mag, **KW, n_iter=n_iter)
     e_mm, e_pl = mag_err(w_mm, mag), mag_err(w_pl, mag)

@@ -114,6 +114,14 @@ class _GLPlan:
                                 # (2048/275/1102, lpad 473) chunks {0, 6, 7}
                                 # of 8 are dead — a 3/8 MAC cut on the
                                 # kernel's dominant cost
+    chunk_spans: tuple[tuple[int, int, int], ...]
+                                # (j, lo, hi) live lane range per active chunk,
+                                # lo 128-aligned, hi capped at hop. With
+                                # trimming the two boundary chunks at the
+                                # production geometry (1: lanes [128, 275),
+                                # 5: [0, 256)) drop 2 of the remaining 13
+                                # output lane-tiles per pass; without trimming
+                                # every span is (j, 0, hop)
     invwss: np.ndarray          # (n_blocks, hop) f32, zero beyond signal end
     p_mats: np.ndarray          # (n_p, hop, hop) f32 reversal permutations
     refl_rows: tuple[_ReflectRow, ...]
@@ -170,7 +178,8 @@ def _reflect_plan(n_fft: int, hop: int, n_frames: int):
 
 
 @functools.lru_cache(maxsize=8)
-def _gl_plan(n_fft: int, hop: int, win_length: int, n_frames: int) -> _GLPlan:
+def _gl_plan(n_fft: int, hop: int, win_length: int, n_frames: int,
+             trim: bool = False) -> _GLPlan:
     m = -(-n_fft // hop)
     f_pad = _round_up(n_frames, SUBLANE)
     n_blocks = f_pad + m - 1
@@ -224,9 +233,19 @@ def _gl_plan(n_fft: int, hop: int, win_length: int, n_frames: int) -> _GLPlan:
 
     p_mats, refl_rows, refl_masks = _reflect_plan(n_fft, hop, n_frames)
     active = tuple(j for j in range(m) if win_chunks[j].any())
+    spans = []
+    for j in active:
+        if trim:
+            nz = np.nonzero(win_chunks[j])[0]
+            lo = int(nz.min()) // LANE * LANE
+            hi = min(_round_up(int(nz.max()) + 1, LANE), hop)
+        else:
+            lo, hi = 0, hop
+        spans.append((j, lo, hi))
     return _GLPlan(n_fft, hop, win_length, n_frames, f_pad, m, n_blocks,
                    s_half, s, e_cat, cos_a, sin_a, syn_c, syn_s,
-                   win_chunks, active, invwss.reshape(n_blocks, hop),
+                   win_chunks, active, tuple(spans),
+                   invwss.reshape(n_blocks, hop),
                    p_mats, refl_rows, refl_masks)
 
 
@@ -280,16 +299,17 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
             im32 = im32 + beta * (im32 - pim.astype(jnp.float32))
         return re32, im32
 
-    def chunk_matmul(re32, im32, j):
+    def chunk_matmul(re32, im32, j, lo, hi):
         # [rot_re | rot_im] (ft, 2*s_half) against the fused positional
-        # matrix: ONE MXU op per chunk instead of a cos+sin pair
+        # matrix: ONE MXU op per chunk instead of a cos+sin pair; only the
+        # live lane span [lo, hi) of the chunk's output is computed
         rot2 = jnp.concatenate(
             [(re32 * syn_c[j:j + 1] - im32 * syn_s[j:j + 1]),
              (re32 * syn_s[j:j + 1] + im32 * syn_c[j:j + 1])],
             axis=1).astype(mdtype)
         return jax.lax.dot_general(
-            rot2, ecat_ref[:], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)   # (ft, hop)
+            rot2, ecat_ref[lo:hi, :], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (ft, hi - lo)
 
     # ---- synthesis: blocked iSTFT via m hop-chunk matmuls per frame
     if ola == "gather":
@@ -297,30 +317,36 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
         for b0 in range(0, nb, _FRAME_TILE):
             bt = min(_FRAME_TILE, nb - b0)
             acc = jnp.zeros((bt, hop), jnp.float32)
-            for j in plan.active_chunks:   # zero-window chunks contribute 0
+            for j, llo, lhi in plan.chunk_spans:  # zero-window chunks skipped
                 lo, hi = b0 - j, b0 - j + bt            # frame-row window
                 lo_c, hi_c = max(lo, 0), min(hi, f)     # clip to real rows
                 if hi_c <= lo_c:
                     continue
                 re32, im32 = extrapolate(lo_c, hi_c - lo_c)
-                chunk = chunk_matmul(re32, im32, j) * win[j:j + 1, :]
+                chunk = (chunk_matmul(re32, im32, j, llo, lhi)
+                         * win[j:j + 1, llo:lhi])
                 top, bot = lo_c - lo, hi - hi_c         # clipped rows = zero
                 if top or bot:
                     parts = [chunk]
                     if top:
-                        parts.insert(0, jnp.zeros((top, hop), jnp.float32))
+                        parts.insert(0, jnp.zeros((top, lhi - llo),
+                                                  jnp.float32))
                     if bot:
-                        parts.append(jnp.zeros((bot, hop), jnp.float32))
+                        parts.append(jnp.zeros((bot, lhi - llo), jnp.float32))
                     chunk = jnp.concatenate(parts, axis=0)
-                acc = acc + chunk
+                if (llo, lhi) == (0, hop):
+                    acc = acc + chunk
+                else:
+                    acc = acc.at[:, llo:lhi].add(chunk)
             y_scr[b0:b0 + bt] = acc                     # one ALIGNED store
     else:
         y_scr[:] = jnp.zeros(y_scr.shape, jnp.float32)
         for t0, ft in tiles:
             re32, im32 = extrapolate(t0, ft)
-            for j in plan.active_chunks:   # zero-window chunks contribute 0
-                chunk = chunk_matmul(re32, im32, j)
-                y_scr[j + t0:j + t0 + ft] += chunk * win[j:j + 1, :]
+            for j, llo, lhi in plan.chunk_spans:  # zero-window chunks skipped
+                chunk = chunk_matmul(re32, im32, j, llo, lhi)
+                y_scr[j + t0:j + t0 + ft, llo:lhi] += (
+                    chunk * win[j:j + 1, llo:lhi])
 
     # ---- window-sum-square normalise (edges included, matching istft)
     yp_scr[:] = y_scr[:] * invwss
@@ -345,11 +371,12 @@ def _iteration_body(plan: _GLPlan, beta: float, mdtype,
     for t0, ft in tiles:
         acc_re = jnp.zeros((ft, plan.s_half), jnp.float32)
         acc_im = jnp.zeros((ft, plan.s_half), jnp.float32)
-        for j in plan.active_chunks:       # win == 0 makes seg == 0
-            seg = (yp_scr[j + t0:j + t0 + ft, :] * win[j:j + 1, :]
+        for j, llo, lhi in plan.chunk_spans:  # win == 0 chunks skipped
+            seg = (yp_scr[j + t0:j + t0 + ft, llo:lhi] * win[j:j + 1, llo:lhi]
                    ).astype(mdtype)
-            # one (ft, hop) x (hop, 2*s_half) op; split the aligned halves
-            cs = jnp.dot(seg, ecat_ref[:], preferred_element_type=jnp.float32)
+            # one (ft, span) x (span, 2*s_half) op; split the aligned halves
+            cs = jnp.dot(seg, ecat_ref[llo:lhi, :],
+                         preferred_element_type=jnp.float32)
             cs_c, cs_m = cs[:, :plan.s_half], cs[:, plan.s_half:]
             acc_re = acc_re + (cs_c * cos_a[j:j + 1] + cs_m * sin_a[j:j + 1])
             acc_im = acc_im + (cs_m * cos_a[j:j + 1] - cs_c * sin_a[j:j + 1])
@@ -380,8 +407,9 @@ def _const_specs(plan: _GLPlan):
 
 
 def _flops_iter(plan: _GLPlan, batch: int) -> int:
-    # 2 passes (synth+analysis), 2 flop/MAC; only live (nonzero-window) chunks
-    return 4 * plan.f_pad * len(plan.active_chunks) * plan.hop * plan.s * batch
+    # 2 passes (synth+analysis), 2 flop/MAC; only the live lane spans
+    live = sum(hi - lo for _, lo, hi in plan.chunk_spans)
+    return 4 * plan.f_pad * live * plan.s * batch
 
 
 def _make_gl_call_fused(plan: _GLPlan, batch: int, beta: float, n_iter: int,
@@ -566,14 +594,16 @@ def _make_gl_call(plan: _GLPlan, batch: int, mdtype=jnp.bfloat16,
 @functools.partial(
     jax.jit,
     static_argnames=("n_fft", "hop_length", "win_length", "n_iter", "length",
-                     "momentum", "inner", "lowp", "interpret", "ola"),
+                     "momentum", "inner", "lowp", "interpret", "ola",
+                     "trim_chunks"),
 )
 def griffin_lim_pallas(magnitude: jax.Array, *, n_fft: int, hop_length: int,
                        win_length: int, n_iter: int = 60,
                        length: int | None = None, momentum: float = 0.0,
                        inner: int | None = None, lowp: bool = True,
                        interpret: bool = False,
-                       ola: str = "scatter") -> jax.Array:
+                       ola: str = "scatter",
+                       trim_chunks: bool = False) -> jax.Array:
     """Griffin-Lim phase recovery with the fused Pallas iteration kernel.
 
     Drop-in equivalent of dsp/dft.py:griffin_lim_mm (same zero-phase init,
@@ -582,11 +612,14 @@ def griffin_lim_pallas(magnitude: jax.Array, *, n_fft: int, hop_length: int,
     spectrum never leaves VMEM; 1 = stream it per iteration, used in tests).
     `ola`: overlap-add formulation, "scatter" (default) or "gather" — see
     `_iteration_body`; numerically equivalent, A/B-able for MXU utilisation.
+    `trim_chunks`: lane-trim the partially-windowed boundary chunks' matmuls
+    to their 128-aligned live span (exact — the trimmed lanes carry zero
+    window); off by default until measured on hardware.
     """
     mag = magnitude.astype(jnp.float32)
     *batch_dims, f, n_bins = mag.shape
     assert n_bins == n_fft // 2 + 1, (n_bins, n_fft)
-    plan = _gl_plan(n_fft, hop_length, win_length, f)
+    plan = _gl_plan(n_fft, hop_length, win_length, f, trim=trim_chunks)
     b = int(np.prod(batch_dims, dtype=np.int64)) if batch_dims else 1
     beta = float(momentum)
     mdtype = jnp.bfloat16 if lowp else jnp.float32

@@ -205,3 +205,29 @@ def test_dead_window_chunks_are_skipped():
         w = p.win_chunks.reshape(-1)
         assert not w[~live].any()                    # dropped rows truly zero
         assert w[live].any()
+
+
+@pytest.mark.parametrize("ola", ["scatter", "gather"])
+def test_trimmed_boundary_chunks_match_untrimmed(ola):
+    """Lane-trimming the partially-live boundary chunks is exact. Geometry
+    chosen so trimming actually bites (hop >= LANE): 512/160/256 gives
+    spans chunk0 [128,160), chunk1 full, chunk2 [0,128), chunk3 dead."""
+    kw = dict(n_fft=512, hop_length=160, win_length=256)
+    plan = _gl_plan(kw["n_fft"], kw["hop_length"], kw["win_length"], 24,
+                    trim=True)
+    assert plan.chunk_spans == ((0, 128, 160), (1, 0, 160), (2, 0, 128))
+    rs = np.random.default_rng(11)
+    y = jnp.asarray(rs.standard_normal((2, 160 * 24)).astype(np.float32))
+    re, im = stft_mm(y, **kw)
+    mag = jnp.sqrt(re**2 + im**2 + 1e-12)
+    want = griffin_lim_pallas(mag, **kw, n_iter=4, interpret=True, lowp=False,
+                              ola=ola, trim_chunks=False)
+    got = griffin_lim_pallas(mag, **kw, n_iter=4, interpret=True, lowp=False,
+                             ola=ola, trim_chunks=True)
+    # trimming drops only exact-zero window terms, but the shorter dot
+    # contractions reassociate f32 partial sums and GL's |spec| normalisation
+    # amplifies that near small bins — same 5e-4 scale tolerance as the
+    # kernel-vs-mm parity tests above
+    scale = float(jnp.max(jnp.abs(want)))
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(want) / scale, atol=5e-4)
