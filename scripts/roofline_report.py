@@ -124,6 +124,26 @@ def main():
                                   conv_bank_flops(32, 128, 128, 16, 128, packed=False),
                                   byts, t_bank_u).report())
 
+    # grouped packing sweep: fewer structural-zero taps per extra conv.
+    # MACs per group (lo,hi]: T*hi*(hi-lo)*ch*c_in
+    for g in (2, 4):
+        bank_g = ConvBank(k=16, channels=128, train=False, packed=True,
+                          groups=g)
+
+        @jax.jit
+        def bank_loop_g(v, x, bank_g=bank_g):
+            def body(i, acc):
+                y = bank_g.apply(v, x + acc * 1e-9)
+                return acc + jnp.sum(y) * 1e-12
+            return jax.lax.fori_loop(0, N_IN, body, jnp.float32(0))
+
+        t_bank_g = timed(lambda: bank_loop_g(variables, x)) / N_IN
+        bounds = [round(i * 16 / g) for i in range(g + 1)]
+        fl_g = sum(2 * 32 * 128 * hi * (hi - lo) * 128 * 128
+                   for lo, hi in zip(bounds[:-1], bounds[1:]))
+        results.append(KernelRoofline(f"conv_bank_K16(groups={g})", fl_g,
+                                      byts, t_bank_g).report())
+
     # ---- fused decode step (Pallas, no alignments, bt=32)
     from tacotron_tpu.models import Tacotron
     from tacotron_tpu.ops.pallas.decode_loop import (

@@ -74,6 +74,11 @@ class ModelConfig:
     n_freq: int = 1025
     r: int = 2                        # reduction factor: frames per decoder step
     max_decode_steps: int = 500       # inference: fixed step count, no stop token (paper §3.2)
+    bank_groups: int = 1              # packed conv-bank split into this many
+                                      # contiguous width groups (1 = one fully
+                                      # packed conv; more groups cut the
+                                      # structural-zero taps at the cost of
+                                      # extra convs — A/B on hardware)
     remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
                                       # (SURVEY.md §7.3 item 5: trades decoder
                                       # recompute for teacher-forced HBM)

@@ -41,6 +41,7 @@ class Encoder(nn.Module):
             gru_dim=cfg.gru_dim,
             train=self.train,
             param_dtype=pdtype,
+            bank_groups=cfg.bank_groups,
             dtype=cdtype,
             name="cbhg",
         )(x, lengths=text_lengths)

@@ -33,6 +33,7 @@ class PostNet(nn.Module):
             gru_dim=cfg.gru_dim,
             train=self.train,
             param_dtype=pdtype,
+            bank_groups=cfg.bank_groups,
             dtype=cfg.cdtype,
             name="cbhg",
         )(mel, lengths=lengths)

@@ -27,6 +27,7 @@ class CBHG(nn.Module):
     gru_dim: int
     train: bool
     param_dtype: jnp.dtype = jnp.float32
+    bank_groups: int = 1              # packed conv-bank width groups
     dtype: jnp.dtype | None = None    # matmul/conv computation dtype
 
     @nn.compact
@@ -34,7 +35,8 @@ class CBHG(nn.Module):
         # x: (B, T, C_in); returns (B, T, 2*gru_dim)
         residual = x
         h = ConvBank(self.k, self.bank_channels, self.train,
-                     self.param_dtype, dtype=self.dtype, name="bank")(x)
+                     self.param_dtype, groups=self.bank_groups,
+                     dtype=self.dtype, name="bank")(x)
         # max pool width 2, stride 1, SAME
         h = nn.max_pool(h, window_shape=(2,), strides=(1,), padding="SAME")
         h = Conv1dProjection(tuple(self.proj_dims), self.train,

@@ -74,7 +74,13 @@ class ConvBank(nn.Module):
     structural zeros. One big conv keeps the MXU busy with a single
     well-tiled contraction instead of K skinny ones (trades ~1.9x padded
     FLOPs for one pass over x; measured faster on TPU). Param layout is
-    identical in both modes, so checkpoints are interchangeable.
+    identical in all modes, so checkpoints are interchangeable.
+
+    ``groups`` splits the packed conv into that many contiguous width ranges,
+    each packed separately: group (lo, hi] is a width-hi conv with
+    (hi-lo)*channels outputs. Structural-zero MACs fall from ~47% (K=16,
+    one group) to ~22% at groups=4, at the cost of more (still wide) convs —
+    the sweet spot is a TPU measurement (scripts/roofline_report.py A/Bs it).
     """
 
     k: int
@@ -82,6 +88,7 @@ class ConvBank(nn.Module):
     train: bool
     param_dtype: jnp.dtype = jnp.float32
     packed: bool = True
+    groups: int = 1
     dtype: jnp.dtype | None = None    # conv computation dtype; BN stays f32
 
     @nn.compact
@@ -105,30 +112,39 @@ class ConvBank(nn.Module):
                 outs.append(nn.relu(h))
             return jnp.concatenate(outs, axis=-1)  # (B, T, K*channels)
 
-        # Packed: same per-branch params, assembled into one (K, C, K*ch) kernel.
-        # Big conv (SAME, width K) computes y[t] = sum_i x[t - left_K + i] W[i];
+        # Packed: same per-branch params, assembled into per-group
+        # (hi, C, (hi-lo)*ch) kernels (one group == one (K, C, K*ch) kernel).
+        # A width-W SAME conv computes y[t] = sum_i x[t - left_W + i] Wt[i];
         # branch w needs x[t - left_w + j] W_w[j], so tap j lands at
-        # i = j + left_K - left_w (left_w = (w-1)//2 per flax SAME stride-1).
-        left_k = (self.k - 1) // 2
-        big = jnp.zeros((self.k, c_in, self.k * self.channels), self.param_dtype)
-        for width in range(1, self.k + 1):
-            kern = self.param(
-                f"conv{width}",
-                lambda key, w=width: {"kernel": nn.initializers.lecun_normal()(
-                    key, (w, c_in, self.channels), self.param_dtype)},
-            )["kernel"]
-            off = left_k - (width - 1) // 2
-            col = (width - 1) * self.channels
-            big = jax.lax.dynamic_update_slice(big, kern, (off, 0, col))
-        # NOTE: no preferred_element_type here — a f32-typed output makes the
-        # conv VJP transpose mix f32 cotangents with bf16 weights (TypeError).
-        # bf16 in/out still accumulates f32 on the MXU internally.
+        # i = j + left_W - left_w (left_w = (w-1)//2 per flax SAME stride-1).
+        # NOTE: no preferred_element_type on the convs — a f32-typed output
+        # makes the conv VJP transpose mix f32 cotangents with bf16 weights
+        # (TypeError). bf16 in/out still accumulates f32 on the MXU.
         cd = self.dtype or self.param_dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(cd), big.astype(cd),
-            window_strides=(1,), padding="SAME",
-            dimension_numbers=("NWC", "WIO", "NWC"),
-        )  # (B, T, K*channels)
+        x_c = x.astype(cd)
+        g = max(1, min(self.groups, self.k))
+        bounds = [round(i * self.k / g) for i in range(g + 1)]
+        ys = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            left_hi = (hi - 1) // 2
+            big = jnp.zeros((hi, c_in, (hi - lo) * self.channels),
+                            self.param_dtype)
+            for width in range(lo + 1, hi + 1):
+                kern = self.param(
+                    f"conv{width}",
+                    lambda key, w=width: {"kernel":
+                        nn.initializers.lecun_normal()(
+                            key, (w, c_in, self.channels), self.param_dtype)},
+                )["kernel"]
+                off = left_hi - (width - 1) // 2
+                col = (width - 1 - lo) * self.channels
+                big = jax.lax.dynamic_update_slice(big, kern, (off, 0, col))
+            ys.append(jax.lax.conv_general_dilated(
+                x_c, big.astype(cd),
+                window_strides=(1,), padding="SAME",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+            ))  # (B, T, (hi-lo)*channels), channels ordered by width
+        y = ys[0] if g == 1 else jnp.concatenate(ys, axis=-1)
         # per-branch BN + ReLU on the packed output (same params as unpacked)
         outs = []
         for width in range(1, self.k + 1):

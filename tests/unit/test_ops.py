@@ -258,6 +258,25 @@ class TestConvBankPacked:
         for a, b_ in zip(jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_pk)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4)
 
+    @pytest.mark.parametrize("groups", [2, 3, 5])
+    def test_grouped_matches_unpacked(self, groups):
+        """Grouped packing (contiguous width ranges as separate convs) must
+        equal the K separate convs with the same params, including a group
+        count that does not divide K."""
+        b, t, c, k, ch = 2, 13, 8, 5, 8
+        x = jax.random.normal(jax.random.PRNGKey(0), (b, t, c))
+        m_ref = ConvBank(k=k, channels=ch, train=False, packed=False)
+        vars_ref = m_ref.init(jax.random.PRNGKey(1), x)
+        y_ref = m_ref.apply(vars_ref, x)
+        m_g = ConvBank(k=k, channels=ch, train=False, packed=True,
+                       groups=groups)
+        vars_g = m_g.init(jax.random.PRNGKey(2), x)
+        assert (jax.tree_util.tree_structure(vars_g)
+                == jax.tree_util.tree_structure(vars_ref))
+        y_g = m_g.apply(vars_ref, x)
+        np.testing.assert_allclose(np.asarray(y_g), np.asarray(y_ref),
+                                   rtol=1e-4, atol=1e-5)
+
 
 class TestStackedBiGRU:
     def test_stacked_matches_two_scan(self):
