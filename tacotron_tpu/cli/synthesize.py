@@ -40,6 +40,10 @@ def main(argv=None):
                    help="shard the utterance batch over all visible devices "
                         "(DP mesh; GSPMD model pass + shard_mapped "
                         "Griffin-Lim). Excludes --fused/--early-exit/--trim")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler device trace of the "
+                        "(post-compile) synthesis pass into this directory "
+                        "(utils/profiling; SURVEY.md §5.1)")
     args = p.parse_args(argv)
     if args.data_parallel and (args.fused or args.early_exit or args.trim):
         p.error("--data-parallel cannot combine with --fused/--early-exit/"
@@ -89,10 +93,24 @@ def main(argv=None):
         mesh = make_mesh(cfg.mesh)
     synth = Synthesizer(cfg, state.params, state.batch_stats, vocab,
                         fused=args.fused, mesh=mesh)
-    t0 = time.time()
-    out = synth(texts, n_steps=args.steps, gl_iters=args.gl_iters,
-                seed=args.seed)
-    dt = time.time() - t0
+    if args.trace_dir:
+        from tacotron_tpu.utils import profiling
+
+        # warm-up pass first so the trace shows steady-state device work,
+        # not the one-time XLA compile
+        synth(texts, n_steps=args.steps, gl_iters=args.gl_iters,
+              seed=args.seed)
+        with profiling.trace(args.trace_dir):
+            t0 = time.time()
+            out = synth(texts, n_steps=args.steps, gl_iters=args.gl_iters,
+                        seed=args.seed)
+            dt = time.time() - t0
+        print(f"trace written: {args.trace_dir}")
+    else:
+        t0 = time.time()
+        out = synth(texts, n_steps=args.steps, gl_iters=args.gl_iters,
+                    seed=args.seed)
+        dt = time.time() - t0
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i, wav in enumerate(out["wavs"]):
