@@ -88,7 +88,13 @@ def stft_mm(y: jax.Array, n_fft: int, hop_length: int, win_length: int,
     """
     frames = frame_signal(y, n_fft, hop_length)
     fwd, _ = _dft_matrices(n_fft, win_length)
-    fwd = jnp.asarray(fwd)
+    # rows outside the centred window span are zero (window folded into the
+    # matrix) — contract only the live span: K 2048 -> 1102 at the production
+    # geometry, a 46% MAC cut, exact up to f32 reduction order
+    lo = (n_fft - win_length) // 2
+    hi = lo + win_length
+    frames = frames[..., lo:hi]
+    fwd = jnp.asarray(fwd[lo:hi])
     if lowp:
         out = jax.lax.dot_general(
             frames.astype(jnp.bfloat16), fwd.astype(jnp.bfloat16),
@@ -114,7 +120,11 @@ def istft_mm(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
              win_length: int, length: int | None = None, lowp: bool = False):
     """Matmul iSTFT with window-sum-square OLA (mirrors stft.istft)."""
     _, bwd = _dft_matrices(n_fft, win_length)
-    bwd = jnp.asarray(bwd)
+    # synthesis frames are windowed, so columns outside the centred window
+    # span are zero — compute only the live span and zero-pad for the OLA
+    lo = (n_fft - win_length) // 2
+    hi = lo + win_length
+    bwd = jnp.asarray(bwd[:, lo:hi])
     spec = jnp.concatenate([re, im], axis=-1)       # (..., frames, 2*n_bins)
     if lowp:
         frames_t = jax.lax.dot_general(
@@ -123,6 +133,8 @@ def istft_mm(re: jax.Array, im: jax.Array, n_fft: int, hop_length: int,
             preferred_element_type=jnp.float32)
     else:
         frames_t = spec @ bwd                        # windowed real frames
+    frames_t = jnp.pad(
+        frames_t, [(0, 0)] * (frames_t.ndim - 1) + [(lo, n_fft - hi)])
 
     n_frames = frames_t.shape[-2]
     pad = n_fft // 2
