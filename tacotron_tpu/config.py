@@ -43,6 +43,9 @@ class AudioConfig:
     # mode, matches the reference's plain 1000-iter loop). ~0.99 reaches
     # vanilla@1000 quality in ~100 iterations.
     gl_momentum: float = 0.0
+    # Pallas kernel: lane-trim the partially-windowed boundary chunks' matmuls
+    # (exact; see dsp/pallas_gl.py chunk_spans). Off until measured on TPU.
+    gl_trim_chunks: bool = False
 
     @property
     def n_freq(self) -> int:

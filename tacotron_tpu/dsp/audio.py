@@ -117,7 +117,8 @@ def inv_spectrogram(
     elif backend == "pallas":  # fused VMEM-resident kernel (dsp/pallas_gl.py)
         from tacotron_tpu.dsp.pallas_gl import griffin_lim_pallas
 
-        y = griffin_lim_pallas(mag, momentum=cfg.gl_momentum, **kw)
+        y = griffin_lim_pallas(mag, momentum=cfg.gl_momentum,
+                               trim_chunks=cfg.gl_trim_chunks, **kw)
     else:  # matmul-DFT on the MXU (see dsp/dft.py)
         from tacotron_tpu.dsp.dft import griffin_lim_mm
 
