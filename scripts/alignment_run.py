@@ -124,8 +124,12 @@ def main():
 
     def score_and_save(state, at_step):
         # alignments on the FIXED eval batch (in minibatch mode the training
-        # `al` came from whatever batch the last step drew)
-        state, m, al = step(state, *eval_batch)
+        # `al` came from whatever batch the last step drew). The scoring step
+        # runs on a COPY: the train step donates its input state, and keeping
+        # the stepped state would apply an extra optimizer update on the
+        # scoring batch at every save
+        score_state = jax.tree_util.tree_map(jnp.copy, state)
+        _, m, al = step(score_state, *eval_batch)
         al_np = np.asarray(al)                # (B, dec_steps, T_in)
         scores = [monotonicity(al_np[j], int(tl[j]),
                                int(fl[j]) // cfg.model.r)
@@ -159,7 +163,6 @@ def main():
         print(json.dumps({k: summary[k] for k in
                           ("monotonic_frac_mean", "diag_corr_mean", "final")}),
               flush=True)
-        return state
 
     for i in range(1, args.steps + 1):
         batch = eval_batch if args.batch_size == 0 else to_dev(next(it))
@@ -174,7 +177,7 @@ def main():
             print(f"step {i:5d}  loss {row['total_loss']:.4f}  "
                   f"mel {row['mel_loss']:.4f}  entropy {ent:.3f}", flush=True)
         if args.save_every and i % args.save_every == 0 and i < args.steps:
-            state = score_and_save(state, i)
+            score_and_save(state, i)
 
     score_and_save(state, args.steps)
 

@@ -75,11 +75,12 @@ def main():
     t_p100 = timed(lambda: griffin_lim_pallas(mag, **kw, n_iter=100), n=2)
     t_p50 = timed(lambda: griffin_lim_pallas(mag, **kw, n_iter=50), n=2)
     per_iter_p = (t_p100 - t_p50) / 50
+    from tacotron_tpu.dsp.pallas_gl import _flops_iter
+
     plan = _gl_plan(kw["n_fft"], kw["hop_length"], kw["win_length"], frames)
-    # true MXU work of the hop-chunk factorisation (see pallas_gl._flops_iter):
-    # synthesis + analysis, LIVE (nonzero-window) chunks only,
-    # (frames, s_half) x (s_half, hop) each
-    fl_p = 4 * plan.f_pad * len(plan.active_chunks) * plan.hop * plan.s * B
+    # true MXU work of the hop-chunk factorisation — the kernel's own
+    # accounting (live chunks / live lane spans), kept in one place
+    fl_p = _flops_iter(plan, B)
     # HBM traffic amortises to ~zero: the spectrum carry lives in VMEM across
     # all iterations; charge the one-time mag in + spectrum out over 50 iters
     byts_p = B * plan.f_pad * plan.s_half * (4 + 2 * 2) / 50
@@ -125,7 +126,10 @@ def main():
                                   byts, t_bank_u).report())
 
     # grouped packing sweep: fewer structural-zero taps per extra conv.
-    # MACs per group (lo,hi]: T*hi*(hi-lo)*ch*c_in
+    # MACs per group (lo,hi]: T*hi*(hi-lo)*ch*c_in; bounds and weight bytes
+    # come from the module's own partition rule
+    from tacotron_tpu.ops.modules import conv_bank_group_bounds
+
     for g in (2, 4):
         bank_g = ConvBank(k=16, channels=128, train=False, packed=True,
                           groups=g)
@@ -138,11 +142,13 @@ def main():
             return jax.lax.fori_loop(0, N_IN, body, jnp.float32(0))
 
         t_bank_g = timed(lambda: bank_loop_g(variables, x)) / N_IN
-        bounds = [round(i * 16 / g) for i in range(g + 1)]
+        spans = conv_bank_group_bounds(16, g)
         fl_g = sum(2 * 32 * 128 * hi * (hi - lo) * 128 * 128
-                   for lo, hi in zip(bounds[:-1], bounds[1:]))
+                   for lo, hi in spans)
+        wt_g = sum(hi * 128 * (hi - lo) * 128 for lo, hi in spans) * 4
+        byts_g = (32 * 128 * 128 + 32 * 128 * 2048) * 4 + wt_g
         results.append(KernelRoofline(f"conv_bank_K16(groups={g})", fl_g,
-                                      byts, t_bank_g).report())
+                                      byts_g, t_bank_g).report())
 
     # ---- fused decode step (Pallas, no alignments, bt=32)
     from tacotron_tpu.models import Tacotron

@@ -43,7 +43,15 @@ def main(argv=None):
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler device trace of the "
                         "(post-compile) synthesis pass into this directory "
-                        "(utils/profiling; SURVEY.md §5.1)")
+                        "(utils/profiling; SURVEY.md §5.1). The JSON timing "
+                        "line is marked traced: profiler overhead makes it "
+                        "incomparable to untraced runs")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="override a field of the restored run config, e.g. "
+                        "--set audio.gl_trim_chunks=true (model overrides "
+                        "must keep the parameter shapes compatible with the "
+                        "checkpoint)")
     args = p.parse_args(argv)
     if args.data_parallel and (args.fused or args.early_exit or args.trim):
         p.error("--data-parallel cannot combine with --fused/--early-exit/"
@@ -73,8 +81,11 @@ def main(argv=None):
     from tacotron_tpu.train import checkpoint
     from tacotron_tpu.train.step import create_train_state
 
+    from tacotron_tpu.config import apply_overrides
+
     with open(os.path.join(args.run_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
+    cfg = apply_overrides(cfg, args.overrides)
     if args.early_exit or args.trim:
         import dataclasses
         cfg = dataclasses.replace(
@@ -93,6 +104,9 @@ def main(argv=None):
         mesh = make_mesh(cfg.mesh)
     synth = Synthesizer(cfg, state.params, state.batch_stats, vocab,
                         fused=args.fused, mesh=mesh)
+    import contextlib
+
+    ctx = contextlib.nullcontext()
     if args.trace_dir:
         from tacotron_tpu.utils import profiling
 
@@ -100,17 +114,14 @@ def main(argv=None):
         # not the one-time XLA compile
         synth(texts, n_steps=args.steps, gl_iters=args.gl_iters,
               seed=args.seed)
-        with profiling.trace(args.trace_dir):
-            t0 = time.time()
-            out = synth(texts, n_steps=args.steps, gl_iters=args.gl_iters,
-                        seed=args.seed)
-            dt = time.time() - t0
-        print(f"trace written: {args.trace_dir}")
-    else:
+        ctx = profiling.trace(args.trace_dir)
+    with ctx:
         t0 = time.time()
         out = synth(texts, n_steps=args.steps, gl_iters=args.gl_iters,
                     seed=args.seed)
         dt = time.time() - t0
+    if args.trace_dir:
+        print(f"trace written: {args.trace_dir}")
 
     os.makedirs(args.out_dir, exist_ok=True)
     for i, wav in enumerate(out["wavs"]):
@@ -119,6 +130,7 @@ def main(argv=None):
             wav = wav[: max(int(out["wav_lengths"][i]), cfg.audio.hop_length)]
         save_wav(path, wav, cfg.audio.sample_rate)
     print(json.dumps({
+        **({"traced": True} if args.trace_dir else {}),
         "n": len(out["wavs"]),
         "audio_seconds": round(out["audio_seconds"], 2),
         "trimmed_audio_seconds": round(out["trimmed_audio_seconds"], 2),

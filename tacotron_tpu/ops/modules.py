@@ -62,6 +62,15 @@ class BatchNorm(nn.Module):
         )(x)
 
 
+def conv_bank_group_bounds(k: int, groups: int) -> list[tuple[int, int]]:
+    """Contiguous width-range partition of the packed conv bank: group
+    (lo, hi] is built as one width-hi conv with (hi-lo)*channels outputs.
+    Shared with the roofline accounting (scripts/roofline_report.py)."""
+    g = max(1, min(groups, k))
+    bounds = [round(i * k / g) for i in range(g + 1)]
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
 class ConvBank(nn.Module):
     """K parallel 1-D convs with widths 1..K, each ``channels`` wide, ReLU +
     batch-norm, stacked on the channel axis (paper Table 1; SURVEY.md #5).
@@ -122,10 +131,9 @@ class ConvBank(nn.Module):
         # (TypeError). bf16 in/out still accumulates f32 on the MXU.
         cd = self.dtype or self.param_dtype
         x_c = x.astype(cd)
-        g = max(1, min(self.groups, self.k))
-        bounds = [round(i * self.k / g) for i in range(g + 1)]
+        spans = conv_bank_group_bounds(self.k, self.groups)
         ys = []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
+        for lo, hi in spans:
             left_hi = (hi - 1) // 2
             big = jnp.zeros((hi, c_in, (hi - lo) * self.channels),
                             self.param_dtype)
@@ -144,7 +152,7 @@ class ConvBank(nn.Module):
                 window_strides=(1,), padding="SAME",
                 dimension_numbers=("NWC", "WIO", "NWC"),
             ))  # (B, T, (hi-lo)*channels), channels ordered by width
-        y = ys[0] if g == 1 else jnp.concatenate(ys, axis=-1)
+        y = ys[0] if len(spans) == 1 else jnp.concatenate(ys, axis=-1)
         # per-branch BN + ReLU on the packed output (same params as unpacked)
         outs = []
         for width in range(1, self.k + 1):
