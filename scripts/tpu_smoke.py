@@ -141,6 +141,20 @@ def main():
     print(f"pallas GL under shard_map (1-dev mesh): max|diff| vs direct {d:.2e}"
           f"  {'OK' if d < 1e-4 else 'FAIL'}")
 
+    # --- pallas GL magnitude-parity vs the mm path on the real chip (the
+    # dead-chunk skip is default-on: validate its Mosaic lowering), and the
+    # lane-trimmed variant (guarded: new slice patterns)
+    e_pl = rel_err(griffin_lim_pallas(mag, **kw, n_iter=50))
+    print(f"pallas GL50 residual magnitude err {e_pl:.3f} (mm: {e_mm:.3f})  "
+          f"{'OK' if e_pl < e_mm * 1.2 + 0.01 else 'FAIL'}")
+    try:
+        e_tr = rel_err(griffin_lim_pallas(mag, **kw, n_iter=50,
+                                          trim_chunks=True))
+        print(f"pallas GL50 trim_chunks err {e_tr:.3f}  "
+              f"{'OK' if abs(e_tr - e_pl) < 0.01 else 'FAIL'}")
+    except Exception as e:
+        print(f"pallas GL trim_chunks FAILED to lower: {type(e).__name__}: {e}")
+
 
 if __name__ == "__main__":
     main()
