@@ -24,12 +24,16 @@ def main(argv=None):
     p.add_argument("--chunk", type=int, default=16)
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate an N-utterance synthetic corpus first (tests/demo)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, e.g. --set audio.n_fft=1024 "
+                        "(audio fields determine the extracted features)")
     args = p.parse_args(argv)
 
-    from tacotron_tpu.config import get_config
+    from tacotron_tpu.config import apply_overrides, get_config
     from tacotron_tpu.data import ljspeech
 
-    cfg = get_config(args.preset)
+    cfg = apply_overrides(get_config(args.preset), args.overrides)
     if args.synthetic:
         ljspeech.generate_synthetic_corpus(
             args.corpus_dir, n=args.synthetic, sample_rate=cfg.audio.sample_rate

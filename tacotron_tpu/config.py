@@ -47,6 +47,13 @@ class AudioConfig:
     # (exact; see dsp/pallas_gl.py chunk_spans). Off until measured on TPU.
     gl_trim_chunks: bool = False
 
+    def __post_init__(self):
+        if not (0 < self.hop_length <= self.win_length <= self.n_fft):
+            raise ValueError(
+                f"need 0 < hop_length <= win_length <= n_fft, got "
+                f"hop={self.hop_length} win={self.win_length} "
+                f"n_fft={self.n_fft} (override the trio together)")
+
     @property
     def n_freq(self) -> int:
         return self.n_fft // 2 + 1    # 1025 linear bins
@@ -227,6 +234,11 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
     back to the raw string — so ``--set model.tf_decoder=hoisted`` and
     ``--set train.batch_size=64`` both work.
     """
+    # collect per-section so interdependent fields (e.g. the audio
+    # n_fft/win_length/hop_length trio, cross-validated in __post_init__)
+    # are replaced in ONE dataclasses.replace call — one at a time, a valid
+    # override set could trip validation on the intermediate state
+    per_section: dict[str, dict[str, object]] = {}
     for ov in overrides:
         key, _, raw = ov.partition("=")
         if not _ or "." not in key:
@@ -249,8 +261,11 @@ def apply_overrides(cfg: Config, overrides: list[str]) -> Config:
         if isinstance(cur, bool) and not isinstance(val, bool):
             raise ValueError(
                 f"{key!r} is a boolean flag; got {raw!r} (use true/false)")
+        per_section.setdefault(section, {})[field_name] = val
+    for section, fields_ in per_section.items():
         cfg = dataclasses.replace(
-            cfg, **{section: dataclasses.replace(sub, **{field_name: val})})
+            cfg, **{section: dataclasses.replace(getattr(cfg, section),
+                                                 **fields_)})
     return cfg
 
 
