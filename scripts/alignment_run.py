@@ -87,7 +87,10 @@ def main():
     from tacotron_tpu.utils.metrics import plot_alignment
 
     acfg = AudioConfig(n_fft=512, win_length=400, hop_length=128, n_mels=80)
-    root = "/tmp/alignment_run"
+    # corpus/data working dir is keyed to --out: two concurrent runs (e.g. a
+    # long evidence run + a quick smoke) must not clobber each other's packed
+    # arrays mid-training (observed: silent SIGBUS death of the long run)
+    root = os.path.abspath(args.out).rstrip("/") + "_work"
     ljspeech.generate_char_tone_corpus(
         os.path.join(root, "corpus"), n=args.n_utts, text_len=args.text_len,
         alphabet_size=args.alphabet_size)
