@@ -67,6 +67,8 @@ def test_synthesize_cli(workdir):
         "--data-dir", str(workdir / "data"),
         "--out-dir", str(workdir / "out"),
         "--text", "hello world", "--steps", "6", "--gl-iters", "5",
+        # overrides on the restored run config (audio fields reach the GL call)
+        "--set", "audio.gl_trim_chunks=true", "--set", "audio.gl_momentum=0.9",
     ])
     stats = json.loads(out.strip().splitlines()[-1])
     assert stats["n"] == 1
