@@ -141,6 +141,11 @@ def main(argv=None):
         state, start_step = checkpoint.restore(ckpt_dir, state)
         state = TrainState(*jax.tree_util.tree_map(jnp.asarray, tuple(state)))
         print(f"resumed from step {start_step}")
+    # Unconditional (not --debug-sync) cross-host agreement on the resume
+    # step: only process 0 writes checkpoints, so on a host-local run_dir
+    # the other hosts would silently restart at step 0 with fresh params and
+    # the psum-averaged gradients would mix divergent parameter sets.
+    multihost.assert_same_step(start_step)
 
     step_fn = make_train_step(cfg, mesh)
     writer = SummaryWriter(os.path.join(args.run_dir, "tb"),

@@ -125,6 +125,8 @@ class TrainConfig:
     """Optimisation (paper §3.3; SURVEY.md §2.1 #13)."""
 
     batch_size: int = 32              # global batch (paper §3.3)
+    # base rate; overriding scales the whole lr_values schedule
+    # proportionally (train/schedule.py)
     learning_rate: float = 1e-3
     # lr 1e-3 -> 5e-4 @500k -> 3e-4 @1M -> 1e-4 @2M (paper §3.3)
     lr_boundaries: tuple[int, ...] = (500_000, 1_000_000, 2_000_000)

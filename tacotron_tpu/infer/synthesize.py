@@ -101,23 +101,14 @@ class Synthesizer:
 
         if self.split_gl:
             if icfg.early_exit:
-                from tacotron_tpu.models.encoder import Encoder
-                from tacotron_tpu.ops.pallas.decode_loop import pack_decoder_weights
-
-                encoder = Encoder(cfg.model, train=False)
                 # while_loop stop unit is a decoder step = r frames
                 min_steps = max(1, -(-icfg.min_silence_frames // cfg.model.r))
 
                 @functools.partial(jax.jit, static_argnames=("n_steps",))
                 def _model(variables, text, text_len, rng, n_steps):
                     v, bs = variables["params"], variables["batch_stats"]
-                    memory = encoder.apply(
-                        {"params": v["encoder"], "batch_stats": bs["encoder"]},
-                        text, text_len, rngs={"dropout": rng},
-                    )
-                    keys = memory @ v["memory_proj"]["kernel"]
-                    mask = jnp.arange(text.shape[1])[None, :] < text_len[:, None]
-                    w = pack_decoder_weights(v["decoder"]["cell"])
+                    memory, keys, mask, w = self._encode_and_pack(
+                        v, bs, text, text_len, rng)
                     mel, aligns, _ = decode_while(
                         memory, keys, mask, w, rng, n_steps=n_steps,
                         r=cfg.model.r, n_mels=cfg.model.n_mels,
@@ -148,14 +139,8 @@ class Synthesizer:
                 wav = inv_spectrogram(out.linear, cfg.audio, n_iter=gl_iters)
                 return out.mel, out.linear, out.alignments, wav
         else:
-            from tacotron_tpu.models.encoder import Encoder
-            from tacotron_tpu.models.postnet import PostNet
-            from tacotron_tpu.ops.pallas.decode_loop import (
-                decode_loop, pack_decoder_weights,
-            )
+            from tacotron_tpu.ops.pallas.decode_loop import decode_loop
 
-            encoder = Encoder(cfg.model, train=False)
-            postnet = PostNet(cfg.model, train=False)
             # CPU: run the kernel interpreted; its PRNG has no CPU lowering,
             # so prenet dropout is disabled there (TPU keeps paper behavior).
             interpret = jax.default_backend() == "cpu"
@@ -164,13 +149,8 @@ class Synthesizer:
             @functools.partial(jax.jit, static_argnames=("n_steps", "gl_iters"))
             def _synth(variables, text, text_len, rng, n_steps, gl_iters):
                 v, bs = variables["params"], variables["batch_stats"]
-                memory = encoder.apply(
-                    {"params": v["encoder"], "batch_stats": bs["encoder"]},
-                    text, text_len, rngs={"dropout": rng},
-                )
-                keys = memory @ v["memory_proj"]["kernel"]
-                mask = jnp.arange(text.shape[1])[None, :] < text_len[:, None]
-                w = pack_decoder_weights(v["decoder"]["cell"])
+                memory, keys, mask, w = self._encode_and_pack(
+                    v, bs, text, text_len, rng)
                 seed = jax.random.randint(rng, (), 0, 2**31 - 1)
                 frames, aligns = decode_loop(
                     memory, keys, mask, w, n_steps=n_steps, seed=seed,
@@ -180,9 +160,7 @@ class Synthesizer:
                 )
                 mel = frames.reshape(text.shape[0], n_steps * cfg.model.r,
                                      cfg.model.n_mels)
-                linear = postnet.apply(
-                    {"params": v["postnet"], "batch_stats": bs["postnet"]}, mel
-                )
+                linear = self._postnet_apply(v, bs, mel)
                 wav = inv_spectrogram(linear, cfg.audio, n_iter=gl_iters)
                 return mel, linear, aligns, wav
 
@@ -206,7 +184,30 @@ class Synthesizer:
         return self._postnet.apply(
             {"params": v["postnet"], "batch_stats": bs["postnet"]}, mel)
 
+    def _encode_and_pack(self, v, bs, text, text_len, rng):
+        """Encoder pass + attention keys + packed decoder weights + mask —
+        the shared preamble of the fused and early-exit decode paths. The
+        keys matmul mirrors the model path's Dense(dtype=cfg.cdtype)
+        semantics so bf16 configs compute identical keys on every path."""
+        from tacotron_tpu.models.encoder import Encoder
+        from tacotron_tpu.ops.pallas.decode_loop import pack_decoder_weights
+
+        if not hasattr(self, "_encoder"):
+            self._encoder = Encoder(self.cfg.model, train=False)
+        memory = self._encoder.apply(
+            {"params": v["encoder"], "batch_stats": bs["encoder"]},
+            text, text_len, rngs={"dropout": rng},
+        )
+        cd = self.cfg.model.cdtype
+        kern = v["memory_proj"]["kernel"]
+        keys = (memory.astype(cd) @ kern.astype(cd) if cd is not None
+                else memory @ kern)
+        mask = jnp.arange(text.shape[1])[None, :] < text_len[:, None]
+        return memory, keys, mask, pack_decoder_weights(v["decoder"]["cell"])
+
     def encode_texts(self, texts: list[str], pad_to: int | None = None):
+        if not texts:
+            raise ValueError("no prompts: texts is empty")
         ids = [self.vocab.encode(t) for t in texts]
         max_len = max(len(i) for i in ids)
         if pad_to is not None:
@@ -228,8 +229,11 @@ class Synthesizer:
         """
         cfg = self.cfg
         icfg = cfg.infer
-        n_steps = n_steps or cfg.model.max_decode_steps
-        gl_iters = gl_iters or cfg.audio.griffin_lim_iters
+        # `is None`, not `or`: 0 is a legitimate request (gl_iters=0 = raw
+        # zero-phase iSTFT) and must not fall back to the config default
+        n_steps = cfg.model.max_decode_steps if n_steps is None else n_steps
+        gl_iters = (cfg.audio.griffin_lim_iters if gl_iters is None
+                    else gl_iters)
         text, lengths = self.encode_texts(texts)
         rng = jax.random.PRNGKey(seed)
 

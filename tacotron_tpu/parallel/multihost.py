@@ -53,7 +53,10 @@ def assert_same_step(step: int) -> None:
         from jax.experimental import multihost_utils
 
         steps = multihost_utils.process_allgather(np.asarray(step))
-        assert int(steps.min()) == int(steps.max()), f"step divergence: {steps}"
+        # explicit raise, not assert: these guards are the debug mechanism
+        # for host divergence and must survive python -O
+        if int(steps.min()) != int(steps.max()):
+            raise RuntimeError(f"step divergence across hosts: {steps}")
 
 
 def assert_shard_consistency(batch_arrays) -> None:
@@ -78,6 +81,10 @@ def assert_shard_consistency(batch_arrays) -> None:
     allg = multihost_utils.process_allgather(packed)          # (P, 16)
     shapes = {bytes(r[:8]) for r in allg}
     contents = [bytes(r[8:]) for r in allg]
-    assert len(shapes) == 1, "hosts disagree on batch shapes (bucket divergence)"
-    assert len(set(contents)) == len(contents), (
-        "duplicate batch content across hosts (per-host data sharding broken)")
+    if len(shapes) != 1:
+        raise RuntimeError(
+            "hosts disagree on batch shapes (bucket divergence)")
+    if len(set(contents)) != len(contents):
+        raise RuntimeError(
+            "duplicate batch content across hosts (per-host data sharding "
+            "broken)")

@@ -13,9 +13,20 @@ from tacotron_tpu.config import TrainConfig
 
 
 def lr_schedule(cfg: TrainConfig):
-    boundaries = {b: cfg.lr_values[i + 1] / cfg.lr_values[i]
+    if len(cfg.lr_values) != len(cfg.lr_boundaries) + 1:
+        raise ValueError(
+            f"train.lr_values needs len(lr_boundaries)+1 entries: got "
+            f"{len(cfg.lr_values)} values for {len(cfg.lr_boundaries)} "
+            f"boundaries")
+    # learning_rate is the base rate: overriding it scales the whole
+    # piecewise schedule proportionally (at the default it equals
+    # lr_values[0], giving exactly the paper schedule). Previously the field
+    # was dead and --set train.learning_rate was silently ignored.
+    scale = cfg.learning_rate / cfg.lr_values[0]
+    values = [v * scale for v in cfg.lr_values]
+    boundaries = {b: values[i + 1] / values[i]
                   for i, b in enumerate(cfg.lr_boundaries)}
-    return optax.piecewise_constant_schedule(cfg.lr_values[0], boundaries)
+    return optax.piecewise_constant_schedule(values[0], boundaries)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:

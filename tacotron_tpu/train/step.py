@@ -88,18 +88,23 @@ def make_train_step(cfg: Config, mesh: Mesh | None = None,
                     state_template: TrainState | None = None):
     """jit train_step with donated state and DP(+TP) shardings over the mesh.
 
-    With model_parallel_size > 1 pass ``state_template`` so the TP sharding
-    rules (parallel/sharding.py) can be applied to the state pytree; without
-    it the state is fully replicated (pure DP).
+    With model_parallel_size > 1 the TP sharding rules (parallel/sharding.py)
+    are applied to the state pytree; the template they need is derived via
+    ``jax.eval_shape`` when the caller does not pass one (so TP is never
+    silently skipped — previously a caller omitting ``state_template``
+    trained fully replicated while believing TP was active).
     """
     fn = partial(train_step, cfg=cfg)
     if mesh is None:
         return jax.jit(fn, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P(cfg.mesh.data_axis))
-    if state_template is not None and cfg.mesh.model_parallel_size > 1:
+    if cfg.mesh.model_parallel_size > 1:
         from tacotron_tpu.parallel.sharding import tree_shardings
 
+        if state_template is None:
+            state_template = jax.eval_shape(
+                lambda: create_train_state(cfg, jax.random.PRNGKey(0)))
         state_sh = tree_shardings(state_template, mesh, cfg.mesh)
     else:
         state_sh = jax.tree_util.tree_map(lambda _: repl, state_template) \
