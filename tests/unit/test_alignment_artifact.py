@@ -51,3 +51,29 @@ def test_alignment_artifact_entropy_decreased_during_training():
     # attention sharpened materially over training (uniform over 14 ~ 2.64)
     assert ents[-1] < ents[0] - 0.5, (ents[0], ents[-1])
     assert s["final"]["mel_loss"] < 0.02   # BASELINE.md toy-convergence row
+
+
+# ---- flagship (256-d full_1chip) model at corpus scale: same gates, produced
+# by scripts/alignment_run.py --preset full_1chip --n-utts 512 --text-len 20.
+# Skipped until the run completes and the artifact is committed.
+
+ART_FULL = os.path.join(os.path.dirname(__file__), "..", "..",
+                        "artifacts", "alignment_full")
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(ART_FULL, "final_alignments.npy")),
+    reason="full-model alignment artifact not yet committed")
+def test_full_model_alignment_artifact_is_a_monotonic_diagonal():
+    al = np.load(os.path.join(ART_FULL, "final_alignments.npy"))
+    with open(os.path.join(ART_FULL, "summary.json")) as f:
+        s = json.load(f)
+    scores = [alignment_scores(al[j], s["text_len"], al.shape[1])
+              for j in range(al.shape[0])]
+    diag = float(np.mean([x["diag_corr"] for x in scores]))
+    mono = float(np.mean([x["monotonic_frac"] for x in scores]))
+    assert diag >= DIAG_CORR_GATE, f"diag_corr_mean {diag}"
+    assert mono >= MONOTONIC_GATE, f"monotonic_frac_mean {mono}"
+    np.testing.assert_allclose(diag, s["diag_corr_mean"], atol=1e-6)
