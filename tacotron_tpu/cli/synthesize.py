@@ -52,6 +52,13 @@ def main(argv=None):
                         "--set audio.gl_trim_chunks=true (model overrides "
                         "must keep the parameter shapes compatible with the "
                         "checkpoint)")
+    p.add_argument("--preset", default=None,
+                   help="overlay a named preset's Griffin-Lim settings "
+                        "(iters/momentum/backend/trim) and infer section on "
+                        "the restored run config — frame geometry and model "
+                        "always come from the run, they must match the "
+                        "checkpoint. E.g. synth_fast: Fast-GL momentum 0.99 "
+                        "x 100 iters, early-exit decode, trimming")
     args = p.parse_args(argv)
     if args.data_parallel and (args.fused or args.early_exit or args.trim):
         p.error("--data-parallel cannot combine with --fused/--early-exit/"
@@ -81,10 +88,27 @@ def main(argv=None):
     from tacotron_tpu.train import checkpoint
     from tacotron_tpu.train.step import create_train_state
 
-    from tacotron_tpu.config import apply_overrides
+    from tacotron_tpu.config import apply_overrides, get_config
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
+    if args.preset:
+        import dataclasses
+
+        ps = get_config(args.preset)
+        # only synthesis-behavior fields: frame geometry (n_fft/hop/win/...)
+        # and the model section are pinned by the checkpoint
+        cfg = dataclasses.replace(
+            cfg,
+            audio=dataclasses.replace(
+                cfg.audio,
+                griffin_lim_iters=ps.audio.griffin_lim_iters,
+                gl_momentum=ps.audio.gl_momentum,
+                gl_backend=ps.audio.gl_backend,
+                gl_trim_chunks=ps.audio.gl_trim_chunks,
+            ),
+            infer=ps.infer,
+        )
     cfg = apply_overrides(cfg, args.overrides)
     if args.early_exit or args.trim:
         import dataclasses

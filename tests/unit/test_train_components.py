@@ -122,7 +122,7 @@ class TestConfig:
     def test_presets_exist(self):
         from tacotron_tpu.config import PRESETS
         assert set(PRESETS) == {"tiny_cpu", "cbhg_parity", "full_1chip",
-                                "synth_gl1000", "pod_dp"}
+                                "synth_gl1000", "pod_dp", "synth_fast"}
 
     def test_apply_overrides(self):
         import pytest
