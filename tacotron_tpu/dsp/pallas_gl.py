@@ -16,7 +16,11 @@ Design notes (all shapes static per compile):
   gathers/reshapes. With m = ceil(n_fft/hop) and frames[f] covering samples
   [f*hop, f*hop + n_fft), both directions decompose over m hop-sized chunks of
   the frame: position n = j*hop + p. Row-shifted slices y[j:j+F] are sublane
-  ops (cheap, aligned); there is no lane-unaligned access in the hot path.
+  ops (cheap, aligned); the default path has no lane-unaligned access in the
+  hot loop. (The opt-in `trim_chunks` lane-trim stores boundary chunks at a
+  128-aligned lane OFFSET with a non-128 width — new slice patterns whose
+  Mosaic lowering is validated by the guarded tpu_smoke/bench A/Bs before the
+  flag ever defaults on.)
 
 * twiddle factorisation keeps VMEM small. The angle splits as
   theta = 2*pi*(j*hop + p)*k/N = a_j*k + b_p*k, so the DFT block for chunk j
@@ -107,15 +111,14 @@ class _GLPlan:
     syn_c: np.ndarray           # (m, s_half) f32 cos(a_j k) * w_k/N
     syn_s: np.ndarray           # (m, s_half) f32 sin(a_j k) * w_k/N
     win_chunks: np.ndarray      # (m, hop) f32 padded analysis/synthesis window
-    active_chunks: tuple[int, ...]  # chunks with a nonzero window: every other
-                                # chunk's synthesis AND analysis matmul is
-                                # multiplied by win == 0, so both passes skip
-                                # it statically. At the production geometry
-                                # (2048/275/1102, lpad 473) chunks {0, 6, 7}
-                                # of 8 are dead — a 3/8 MAC cut on the
-                                # kernel's dominant cost
     chunk_spans: tuple[tuple[int, int, int], ...]
-                                # (j, lo, hi) live lane range per active chunk,
+                                # (j, lo, hi) live lane range per LIVE chunk —
+                                # chunks whose window slice is all zero are
+                                # absent entirely (both passes' matmuls for
+                                # them are multiplied by win == 0): at the
+                                # production geometry (2048/275/1102,
+                                # lpad 473) chunks {0, 6, 7} of 8 are dead,
+                                # a 3/8 MAC cut on the dominant cost.
                                 # lo 128-aligned, hi capped at hop. With
                                 # trimming the two boundary chunks at the
                                 # production geometry (1: lanes [128, 275),
@@ -232,9 +235,10 @@ def _gl_plan(n_fft: int, hop: int, win_length: int, n_frames: int,
     invwss[ty:] = 0.0
 
     p_mats, refl_rows, refl_masks = _reflect_plan(n_fft, hop, n_frames)
-    active = tuple(j for j in range(m) if win_chunks[j].any())
     spans = []
-    for j in active:
+    for j in range(m):
+        if not win_chunks[j].any():
+            continue                       # dead chunk: skipped in both passes
         if trim:
             nz = np.nonzero(win_chunks[j])[0]
             lo = int(nz.min()) // LANE * LANE
@@ -244,7 +248,7 @@ def _gl_plan(n_fft: int, hop: int, win_length: int, n_frames: int,
         spans.append((j, lo, hi))
     return _GLPlan(n_fft, hop, win_length, n_frames, f_pad, m, n_blocks,
                    s_half, s, e_cat, cos_a, sin_a, syn_c, syn_s,
-                   win_chunks, active, tuple(spans),
+                   win_chunks, tuple(spans),
                    invwss.reshape(n_blocks, hop),
                    p_mats, refl_rows, refl_masks)
 

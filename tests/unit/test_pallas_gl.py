@@ -195,12 +195,12 @@ def test_dead_window_chunks_are_skipped():
     passes; the remaining chunks must still cover every nonzero window row.
     At the production geometry (2048/275/1102) 3 of 8 chunks are dead."""
     plan = _gl_plan(KW["n_fft"], KW["hop_length"], KW["win_length"], 40)
-    assert plan.active_chunks == (0, 1, 2, 3, 4)     # chunk 5 dead (win end 223)
+    assert [j for j, _, _ in plan.chunk_spans] == [0, 1, 2, 3, 4]  # 5 dead
     prod = _gl_plan(2048, 275, 1102, 408)
-    assert prod.active_chunks == (1, 2, 3, 4, 5)     # 0, 6, 7 dead (lpad 473)
+    assert [j for j, _, _ in prod.chunk_spans] == [1, 2, 3, 4, 5]  # 0,6,7 dead
     for p in (plan, prod):
         live = np.zeros(p.m * p.hop, bool)
-        for j in p.active_chunks:
+        for j, _, _ in p.chunk_spans:
             live[j * p.hop:(j + 1) * p.hop] = True
         w = p.win_chunks.reshape(-1)
         assert not w[~live].any()                    # dropped rows truly zero
