@@ -26,8 +26,10 @@ def main(argv=None):
                    help="generate an N-utterance synthetic corpus first (tests/demo)")
     p.add_argument("--set", action="append", default=[], dest="overrides",
                    metavar="SECTION.KEY=VALUE",
-                   help="config override, e.g. --set audio.n_fft=1024 "
-                        "(audio fields determine the extracted features)")
+                   help="config override (audio fields determine the "
+                        "extracted features). Frame-geometry fields validate "
+                        "as a trio, e.g. --set audio.n_fft=1024 --set "
+                        "audio.win_length=960 --set audio.hop_length=240")
     args = p.parse_args(argv)
 
     from tacotron_tpu.config import apply_overrides, get_config

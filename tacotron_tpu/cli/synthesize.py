@@ -12,6 +12,8 @@ import json
 import os
 import time
 
+from tacotron_tpu.config import PRESETS  # light import: dataclasses only
+
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
@@ -52,7 +54,7 @@ def main(argv=None):
                         "--set audio.gl_trim_chunks=true (model overrides "
                         "must keep the parameter shapes compatible with the "
                         "checkpoint)")
-    p.add_argument("--preset", default=None,
+    p.add_argument("--preset", default=None, choices=sorted(PRESETS),
                    help="overlay a named preset's Griffin-Lim settings "
                         "(iters/momentum/backend/trim) and infer section on "
                         "the restored run config — frame geometry and model "
@@ -60,14 +62,6 @@ def main(argv=None):
                         "checkpoint. E.g. synth_fast: Fast-GL momentum 0.99 "
                         "x 100 iters, early-exit decode, trimming")
     args = p.parse_args(argv)
-    if args.data_parallel and (args.fused or args.early_exit or args.trim):
-        p.error("--data-parallel cannot combine with --fused/--early-exit/"
-                "--trim (fused is a single-chip kernel; early-exit/trim are "
-                "host-driven)")
-    if args.fused and (args.early_exit or args.trim):
-        p.error("--fused cannot combine with --early-exit/--trim (the fused "
-                "kernel decodes a fixed length; the flags' savings would "
-                "silently not happen)")
     texts = list(args.text or [])
     if args.text_file:
         with open(args.text_file) as f:
@@ -81,20 +75,18 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
-    from tacotron_tpu.config import Config
+    import dataclasses
+
+    from tacotron_tpu.config import Config, apply_overrides, get_config
     from tacotron_tpu.data.ljspeech import save_wav
     from tacotron_tpu.data.vocab import Vocab
     from tacotron_tpu.infer import Synthesizer
     from tacotron_tpu.train import checkpoint
     from tacotron_tpu.train.step import create_train_state
 
-    from tacotron_tpu.config import apply_overrides, get_config
-
     with open(os.path.join(args.run_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
     if args.preset:
-        import dataclasses
-
         ps = get_config(args.preset)
         # only synthesis-behavior fields: frame geometry (n_fft/hop/win/...)
         # and the model section are pinned by the checkpoint
@@ -111,11 +103,24 @@ def main(argv=None):
         )
     cfg = apply_overrides(cfg, args.overrides)
     if args.early_exit or args.trim:
-        import dataclasses
+        # flags only ENABLE: a False flag must not clobber what --preset or
+        # --set just turned on
         cfg = dataclasses.replace(
-            cfg, infer=dataclasses.replace(cfg.infer,
-                                           early_exit=args.early_exit,
-                                           trim_before_gl=args.trim))
+            cfg, infer=dataclasses.replace(
+                cfg.infer,
+                early_exit=args.early_exit or cfg.infer.early_exit,
+                trim_before_gl=args.trim or cfg.infer.trim_before_gl))
+    # mutual exclusions on the EFFECTIVE config (flags, --preset and --set
+    # can all set these), as clean CLI errors rather than deep tracebacks
+    ee_or_trim = cfg.infer.early_exit or cfg.infer.trim_before_gl
+    if args.data_parallel and (args.fused or ee_or_trim):
+        p.error("--data-parallel cannot combine with --fused or "
+                "early-exit/trim (from flags, --preset or --set): fused is a "
+                "single-chip kernel; early-exit/trim are host-driven")
+    if args.fused and ee_or_trim:
+        p.error("--fused cannot combine with early-exit/trim (from flags, "
+                "--preset or --set): the fused kernel decodes a fixed "
+                "length; the flags' savings would silently not happen")
     vocab = Vocab.load(os.path.join(args.data_dir, "vocab.json"))
 
     template = create_train_state(cfg, jax.random.PRNGKey(0))
@@ -150,7 +155,7 @@ def main(argv=None):
     os.makedirs(args.out_dir, exist_ok=True)
     for i, wav in enumerate(out["wavs"]):
         path = os.path.join(args.out_dir, f"utt_{i:03d}.wav")
-        if args.trim:
+        if cfg.infer.trim_before_gl:   # effective config, not just the flag
             wav = wav[: max(int(out["wav_lengths"][i]), cfg.audio.hop_length)]
         save_wav(path, wav, cfg.audio.sample_rate)
     print(json.dumps({
