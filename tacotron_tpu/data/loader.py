@@ -28,8 +28,11 @@ from tacotron_tpu.data.vocab import Vocab
 class Batch:
     text: np.ndarray        # (B, text_len) int32, pad 0
     text_len: np.ndarray    # (B,) int32
-    mel: np.ndarray         # (B, n_frames, n_mels) float32
-    linear: np.ndarray      # (B, n_frames, n_freq) float32
+    mel: np.ndarray         # (B, n_frames, n_mels) feature_dtype (f16 default:
+                            # the packed source is f16, so shipping f16 to the
+                            # device and casting inside the jitted step is
+                            # bit-identical at half the PCIe bytes)
+    linear: np.ndarray      # (B, n_frames, n_freq) feature_dtype
     frame_len: np.ndarray   # (B,) int32
     bucket: int = 0
 
@@ -63,10 +66,11 @@ class DataLoader:
     def __init__(self, dataset: Dataset, batch_size: int, num_buckets: int, r: int,
                  seed: int = 0, process_index: int = 0, process_count: int = 1,
                  drop_oversize: bool = True, prefetch: int = 2,
-                 use_native: bool = True):
+                 use_native: bool = True, feature_dtype: str = "float16"):
         self.ds = dataset
         self.batch_size = batch_size
         self.r = r
+        self.feature_dtype = np.dtype(feature_dtype)
         # Native C++ batch assembler (tacotron_tpu/native): threads do the
         # f16->f32 + pad + gather; numpy fallback when the toolchain is absent.
         self.native = None
@@ -104,15 +108,15 @@ class DataLoader:
         spec = self.buckets[bucket_id]
         if self.native is not None:
             text, text_len, mel, lin, frame_len = self.native.assemble(
-                items, spec.text_len, spec.n_frames
+                items, spec.text_len, spec.n_frames, dtype=self.feature_dtype
             )
             return Batch(text, text_len, mel, lin, frame_len, bucket=bucket_id)
         b = len(items)
         n_mels = self.ds.mels.shape[1]
         n_freq = self.ds.linears.shape[1]
         text = np.zeros((b, spec.text_len), np.int32)
-        mel = np.zeros((b, spec.n_frames, n_mels), np.float32)
-        lin = np.zeros((b, spec.n_frames, n_freq), np.float32)
+        mel = np.zeros((b, spec.n_frames, n_mels), self.feature_dtype)
+        lin = np.zeros((b, spec.n_frames, n_freq), self.feature_dtype)
         text_len = np.zeros((b,), np.int32)
         frame_len = np.zeros((b,), np.int32)
         for j, i in enumerate(items):

@@ -9,6 +9,12 @@
 // zero-padding and gather in parallel C++ threads instead of per-utterance
 // numpy slicing in the GIL.
 //
+// Two output modes: f32 (f16->f32 conversion on the host) and raw f16
+// (pad+gather only — half the host work AND half the host->device PCIe
+// bytes; the cast to f32 then happens on device inside the jitted step,
+// where it is free). The packed source arrays are f16 either way, so the
+// end-to-end numerics are bit-identical.
+//
 // Exposed as a plain C ABI for ctypes (no pybind11 in this image).
 
 #include <cstdint>
@@ -121,6 +127,64 @@ void assemble_batch(const uint16_t* mels, const uint16_t* linears,
   for (auto& th : threads) th.join();
 }
 
-int32_t batcher_abi_version() { return 1; }
+// f16 passthrough variant: same gather/pad, outputs raw uint16 feature
+// buffers (see file comment). Shares the text/length handling.
+void assemble_batch_f16(const uint16_t* mels, const uint16_t* linears,
+                        const int32_t* texts, const int64_t* text_off,
+                        const int64_t* text_len, const int64_t* frame_off,
+                        const int64_t* frame_len, const int32_t* items,
+                        int32_t n_items, int32_t text_pad, int32_t frame_pad,
+                        int32_t n_mels, int32_t n_freq, uint16_t* out_mel,
+                        uint16_t* out_lin, int32_t* out_text,
+                        int32_t* out_text_len, int32_t* out_frame_len,
+                        int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 4;
+  }
+  if (n_threads > n_items) n_threads = n_items;
+
+  auto worker = [&](int t0, int t1) {
+    for (int j = t0; j < t1; ++j) {
+      const int32_t u = items[j];
+      const int64_t fl64 = frame_len[u];
+      const int32_t fl = (int32_t)(fl64 < frame_pad ? fl64 : frame_pad);
+      const int64_t tl64 = text_len[u];
+      const int32_t tl = (int32_t)(tl64 < text_pad ? tl64 : text_pad);
+
+      uint16_t* mel_dst = out_mel + (int64_t)j * frame_pad * n_mels;
+      uint16_t* lin_dst = out_lin + (int64_t)j * frame_pad * n_freq;
+      std::memset(mel_dst, 0, sizeof(uint16_t) * (int64_t)frame_pad * n_mels);
+      std::memset(lin_dst, 0, sizeof(uint16_t) * (int64_t)frame_pad * n_freq);
+      std::memcpy(mel_dst, mels + frame_off[u] * n_mels,
+                  sizeof(uint16_t) * (int64_t)fl * n_mels);
+      std::memcpy(lin_dst, linears + frame_off[u] * n_freq,
+                  sizeof(uint16_t) * (int64_t)fl * n_freq);
+
+      int32_t* txt_dst = out_text + (int64_t)j * text_pad;
+      std::memset(txt_dst, 0, sizeof(int32_t) * text_pad);
+      std::memcpy(txt_dst, texts + text_off[u], sizeof(int32_t) * tl);
+
+      out_text_len[j] = tl;
+      out_frame_len[j] = fl;
+    }
+  };
+
+  if (n_threads <= 1) {
+    worker(0, n_items);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int per = (n_items + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int a = t * per;
+    const int b = a + per < n_items ? a + per : n_items;
+    if (a >= b) break;
+    threads.emplace_back(worker, a, b);
+  }
+  for (auto& th : threads) th.join();
+}
+
+int32_t batcher_abi_version() { return 2; }
 
 }  // extern "C"

@@ -43,7 +43,7 @@ def load_batcher():
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
-        if lib.batcher_abi_version() != 1:
+        if lib.batcher_abi_version() != 2:
             return None
         lib.assemble_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p,   # mels, linears (u16)
@@ -59,6 +59,9 @@ def load_batcher():
             ctypes.c_int32,                     # n_threads
         ]
         lib.assemble_batch.restype = None
+        # f16 passthrough variant: identical signature, u16 feature outputs
+        lib.assemble_batch_f16.argtypes = lib.assemble_batch.argtypes
+        lib.assemble_batch_f16.restype = None
         _lib = lib
         return _lib
 
@@ -86,16 +89,23 @@ class NativeBatcher:
         self.n_mels = ds.mels.shape[1]
         self.n_freq = ds.linears.shape[1]
 
-    def assemble(self, items, text_pad: int, frame_pad: int, n_threads: int = 0):
+    def assemble(self, items, text_pad: int, frame_pad: int, n_threads: int = 0,
+                 dtype=np.float32):
+        """dtype float16 = raw pad+gather (half the host work and half the
+        host->device bytes; source arrays are f16, so no precision is lost);
+        float32 = legacy host-side conversion."""
         items = np.ascontiguousarray(items, dtype=np.int32)
         n = len(items)
-        out_mel = np.empty((n, frame_pad, self.n_mels), np.float32)
-        out_lin = np.empty((n, frame_pad, self.n_freq), np.float32)
+        f16 = np.dtype(dtype) == np.float16
+        fdt = np.float16 if f16 else np.float32
+        fn = self.lib.assemble_batch_f16 if f16 else self.lib.assemble_batch
+        out_mel = np.empty((n, frame_pad, self.n_mels), fdt)
+        out_lin = np.empty((n, frame_pad, self.n_freq), fdt)
         out_text = np.empty((n, text_pad), np.int32)
         out_tl = np.empty((n,), np.int32)
         out_fl = np.empty((n,), np.int32)
         c = lambda a: a.ctypes.data_as(ctypes.c_void_p)
-        self.lib.assemble_batch(
+        fn(
             c(self.mels), c(self.linears), c(self.texts),
             c(self.text_off), c(self.text_len), c(self.frame_off),
             c(self.frame_len), c(items), n, text_pad, frame_pad,

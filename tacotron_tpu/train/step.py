@@ -58,6 +58,11 @@ def create_train_state(cfg: Config, rng: jax.Array,
 def train_step(state: TrainState, text, text_len, mel_gt, linear_gt, frame_len,
                *, cfg: Config):
     """One teacher-forced fwd/bwd/update. Pure; jit-wrapped by make_train_step."""
+    # Feature targets arrive in the loader's wire dtype (f16 by default — the
+    # packed dataset is f16, so shipping f16 over PCIe and casting here is
+    # bit-identical at half the transfer bytes); model + loss compute in f32.
+    mel_gt = mel_gt.astype(jnp.float32)
+    linear_gt = linear_gt.astype(jnp.float32)
     model = Tacotron(cfg.model, train=True)
     tx = make_optimizer(cfg.train)
     rng, dropout_rng = jax.random.split(state.rng)

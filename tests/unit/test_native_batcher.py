@@ -78,3 +78,22 @@ def test_native_handles_oversize_clipping(data_dir):
         spec = dl.buckets[batch.bucket]
         assert (batch.frame_len <= spec.n_frames).all()
         assert (batch.text_len <= spec.text_len).all()
+
+
+def test_f16_passthrough_matches_f32_conversion(data_dir):
+    """The f16 wire mode must gather/pad the exact stored half bits: casting
+    its output to f32 equals the legacy host-converted f32 output."""
+    from tacotron_tpu.data.loader import DataLoader, Dataset
+    from tacotron_tpu.native import NativeBatcher
+
+    ds = Dataset(data_dir)
+    nb = NativeBatcher(ds)
+    items = list(range(min(4, len(ds))))
+    t16, tl16, m16, l16, fl16 = nb.assemble(items, 24, 64, dtype=np.float16)
+    t32, tl32, m32, l32, fl32 = nb.assemble(items, 24, 64, dtype=np.float32)
+    assert m16.dtype == np.float16 and l16.dtype == np.float16
+    np.testing.assert_array_equal(t16, t32)
+    np.testing.assert_array_equal(tl16, tl32)
+    np.testing.assert_array_equal(fl16, fl32)
+    np.testing.assert_array_equal(m16.astype(np.float32), m32)
+    np.testing.assert_array_equal(l16.astype(np.float32), l32)
