@@ -48,6 +48,11 @@ def main():
     p.add_argument("--fused", action="store_true",
                    help="synth metric: decode through the fused Pallas "
                         "decode-loop kernel instead of the XLA scan")
+    p.add_argument("--with-pipeline", action="store_true",
+                   help="train metric: feed real DataLoader batches (f16 wire "
+                        "format, native C++ assembler, prefetch thread, "
+                        "host->device transfer) instead of one resident "
+                        "device batch — measures the production input path")
     p.add_argument("--metric", default="train", choices=["train", "synth"],
                    help="train = frames/s/chip (primary); synth = end-to-end "
                         "audio-seconds synthesized per second @ GL1000")
@@ -206,11 +211,71 @@ def main():
     mesh = make_mesh(cfg.mesh)
 
     rng = jax.random.PRNGKey(0)
-    state = create_train_state(cfg, rng)
-    step_fn = make_train_step(cfg, mesh)
 
     b, t_in, t_out = args.batch, args.t_in, args.t_out
     assert t_out % cfg.model.r == 0
+
+    def force(x):
+        # device->host read: block_until_ready is NOT reliable on the axon
+        # platform (verified empirically — it returns before compute finishes)
+        return float(jnp.sum(x))
+
+    if args.with_pipeline:
+        # Real input path: synthetic corpus -> packed f16 arrays -> native
+        # batcher + prefetch -> host->device transfer each step. One bucket
+        # (single compiled shape) sized to ~t_out frames.
+        from tacotron_tpu.data import ljspeech
+        from tacotron_tpu.data.loader import DataLoader, Dataset
+
+        sec = t_out * cfg.audio.hop_length / cfg.audio.sample_rate
+        root = f"/tmp/bench_pipeline_t{t_out}"
+        if not os.path.exists(os.path.join(root, "data", "index.json")):
+            n_utt = max(2 * args.batch, 128)
+            ljspeech.generate_synthetic_corpus(
+                os.path.join(root, "corpus"), n=n_utt,
+                sample_rate=cfg.audio.sample_rate,
+                min_sec=sec * 0.9, max_sec=sec * 1.02)
+            ljspeech.preprocess(os.path.join(root, "corpus"),
+                                os.path.join(root, "data"), cfg.audio,
+                                chunk=16)
+        ds = Dataset(os.path.join(root, "data"))
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model,
+                                           vocab_size=max(64, len(ds.vocab))))
+        loader = DataLoader(ds, batch_size=b, num_buckets=1, r=cfg.model.r)
+        t_out_eff = loader.buckets[0].n_frames
+        it = iter(loader)
+
+        state = create_train_state(cfg, rng)
+        step_fn = make_train_step(cfg, mesh)
+
+        def to_dev(bt):
+            return shard_batch((bt.text, bt.text_len, bt.mel, bt.linear,
+                                bt.frame_len), mesh, cfg.mesh)
+
+        with mesh:
+            for _ in range(args.warmup):
+                state, metrics, _ = step_fn(state, *to_dev(next(it)))
+            force(metrics["total_loss"])
+            t0 = time.time()
+            for _ in range(args.steps):
+                state, metrics, _ = step_fn(state, *to_dev(next(it)))
+            force(metrics["total_loss"])
+            dt = time.time() - t0
+        frames_per_s = args.steps * b * t_out_eff / dt
+        per_chip = frames_per_s / n_chips
+        ratchet = read_ratchet()
+        print(json.dumps({
+            "metric": "train_frames_per_s_per_chip_with_pipeline",
+            "value": round(per_chip, 1),
+            "unit": "frames/s/chip",
+            "vs_baseline": round(per_chip / ratchet, 4) if ratchet else 1.0,
+        }))
+        return
+
+    state = create_train_state(cfg, rng)
+    step_fn = make_train_step(cfg, mesh)
+
     batch = (
         jax.random.randint(rng, (b, t_in), 1, 60),
         jnp.full((b,), t_in, jnp.int32),
@@ -218,11 +283,6 @@ def main():
         jax.random.uniform(rng, (b, t_out, cfg.model.n_freq)),
         jnp.full((b,), t_out, jnp.int32),
     )
-
-    def force(x):
-        # device->host read: block_until_ready is NOT reliable on the axon
-        # platform (verified empirically — it returns before compute finishes)
-        return float(jnp.sum(x))
 
     with mesh:
         batch = shard_batch(batch, mesh, cfg.mesh)
