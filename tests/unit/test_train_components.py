@@ -49,6 +49,17 @@ class TestSchedule:
         assert float(s(1_500_000)) == pytest.approx(3e-4, rel=1e-5)
         assert float(s(2_500_000)) == pytest.approx(1e-4, rel=1e-5)
 
+    def test_learning_rate_scales_whole_schedule(self):
+        cfg = TrainConfig(learning_rate=5e-4)   # half the default base
+        s = lr_schedule(cfg)
+        assert float(s(0)) == pytest.approx(5e-4, rel=1e-5)
+        assert float(s(1_500_000)) == pytest.approx(1.5e-4, rel=1e-5)
+
+    def test_lr_length_mismatch_raises(self):
+        cfg = TrainConfig(lr_values=(1e-3, 5e-4))   # 3 boundaries need 4
+        with pytest.raises(ValueError, match="lr_values"):
+            lr_schedule(cfg)
+
 
 class TestCheckpoint:
     def _tree(self, scale=1.0):
