@@ -90,11 +90,12 @@ class TestMel:
 
         def h2m(f):
             f = np.asarray(f, float)
-            return np.where(
-                f >= 1000.0,
-                15.0 + np.log(f / 1000.0) / (np.log(6.4) / 27.0),
-                3 * f / 200.0,
-            )
+            with np.errstate(divide="ignore"):  # log(0) branch is unselected
+                return np.where(
+                    f >= 1000.0,
+                    15.0 + np.log(f / 1000.0) / (np.log(6.4) / 27.0),
+                    3 * f / 200.0,
+                )
 
         def m2h(m):
             m = np.asarray(m, float)
