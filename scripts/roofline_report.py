@@ -53,7 +53,7 @@ def main():
     n_iter = 50
     t_gl = timed(lambda: griffin_lim_mm(mag, **kw, n_iter=n_iter), n=2)
     per_iter = t_gl / n_iter
-    fl = gl_iteration_flops(B, frames, kw["n_fft"])
+    fl = gl_iteration_flops(B, frames, kw["n_fft"], kw["win_length"])
     # bytes: ALL intermediate arrays the iteration materialises, not just the
     # matmul operands — the loop is HBM-bandwidth-bound in practice (spec
     # carry r/w, frames write+read both directions, projection read+write,

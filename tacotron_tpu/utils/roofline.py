@@ -45,11 +45,22 @@ class KernelRoofline:
         }
 
 
-def gl_iteration_flops(batch: int, frames: int, n_fft: int) -> float:
-    """One Griffin-Lim iteration via matmul-DFT: forward + inverse transforms."""
+def gl_iteration_flops(batch: int, frames: int, n_fft: int,
+                       win_length: int | None = None) -> float:
+    """One Griffin-Lim iteration via matmul-DFT: forward + inverse transforms.
+
+    The mm transforms contract only the (128-aligned) live window span
+    (dsp/dft._live_span), so FLOPs scale with that span, not n_fft."""
+    if win_length is None:
+        k = n_fft
+    else:
+        from tacotron_tpu.dsp.dft import _live_span
+
+        lo, hi = _live_span(n_fft, win_length)
+        k = hi - lo
     n_bins = n_fft // 2 + 1
-    per_frame = 2 * n_fft * (2 * n_bins)   # fwd matmul (re+im columns)
-    per_frame += 2 * (2 * n_bins) * n_fft  # inverse matmul
+    per_frame = 2 * k * (2 * n_bins)   # fwd matmul (re+im columns)
+    per_frame += 2 * (2 * n_bins) * k  # inverse matmul
     return batch * frames * per_frame
 
 
