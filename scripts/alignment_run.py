@@ -50,6 +50,16 @@ def main():
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--n-utts", type=int, default=16)
     p.add_argument("--text-len", type=int, default=14)
+    p.add_argument("--char-sec", type=float, default=0.06,
+                   help="tone duration per character. The alignment pressure "
+                        "scales with decoder steps per character: at ~2 "
+                        "steps/char the teacher-forced input crosses a tone "
+                        "boundary nearly every step, so copying the previous "
+                        "frame cannot solve the task and attention must. "
+                        "(r=2 models want ~0.025 s at hop 128; the r=5 tiny "
+                        "preset got the same ratio from the 0.06 default — "
+                        "the full-model 0.06/r=2 run collapsed onto position "
+                        "0 instead of aligning)")
     p.add_argument("--alphabet-size", type=int, default=26,
                    help="distinct characters; with a larger alphabet and "
                         "enough utterances the decoder cannot memorise the "
@@ -93,7 +103,7 @@ def main():
     root = os.path.abspath(args.out).rstrip("/") + "_work"
     ljspeech.generate_char_tone_corpus(
         os.path.join(root, "corpus"), n=args.n_utts, text_len=args.text_len,
-        alphabet_size=args.alphabet_size)
+        alphabet_size=args.alphabet_size, char_sec=args.char_sec)
     ljspeech.preprocess(os.path.join(root, "corpus"),
                         os.path.join(root, "data"), acfg, chunk=8)
     ds = Dataset(os.path.join(root, "data"))
