@@ -60,6 +60,11 @@ def main():
                         "preset got the same ratio from the 0.06 default — "
                         "the full-model 0.06/r=2 run collapsed onto position "
                         "0 instead of aligning)")
+    p.add_argument("--char-sec-jitter", type=float, default=0.0,
+                   help="random per-character duration in char_sec*[1-j,1+j]: "
+                        "boundary timing becomes observable only through "
+                        "attention (see data/ljspeech.generate_char_tone_"
+                        "corpus)")
     p.add_argument("--alphabet-size", type=int, default=26,
                    help="distinct characters; with a larger alphabet and "
                         "enough utterances the decoder cannot memorise the "
@@ -103,7 +108,8 @@ def main():
     root = os.path.abspath(args.out).rstrip("/") + "_work"
     ljspeech.generate_char_tone_corpus(
         os.path.join(root, "corpus"), n=args.n_utts, text_len=args.text_len,
-        alphabet_size=args.alphabet_size, char_sec=args.char_sec)
+        alphabet_size=args.alphabet_size, char_sec=args.char_sec,
+        char_sec_jitter=args.char_sec_jitter)
     ljspeech.preprocess(os.path.join(root, "corpus"),
                         os.path.join(root, "data"), acfg, chunk=8)
     ds = Dataset(os.path.join(root, "data"))

@@ -210,7 +210,8 @@ def preprocess(corpus_dir: str, data_dir: str, cfg: AudioConfig,
 def generate_char_tone_corpus(corpus_dir: str, n: int = 8,
                               sample_rate: int = 22050, seed: int = 0,
                               char_sec: float = 0.06, text_len: int = 12,
-                              alphabet_size: int = 10) -> None:
+                              alphabet_size: int = 10,
+                              char_sec_jitter: float = 0.0) -> None:
     """Synthetic corpus where audio IS the text: each character renders as a
     fixed-duration tone whose pitch encodes the character. Attention has a
     ground-truth monotonic alignment to learn — used by the overfit-alignment
@@ -220,7 +221,15 @@ def generate_char_tone_corpus(corpus_dir: str, n: int = 8,
     the decoder cannot memorise per-utterance outputs from its autoregressive
     state alone, so attention MUST resolve text position — which is exactly
     what the alignment probe needs to demonstrate (VERDICT.md r1 item 2: a
-    small repeated-character corpus overfits with near-flat attention)."""
+    small repeated-character corpus overfits with near-flat attention).
+
+    ``char_sec_jitter`` (0..1): each character's duration is drawn uniformly
+    from char_sec * [1-j, 1+j]. With fixed durations the decoder can learn
+    the boundary SCHEDULE by counting steps (and solve the rest by copying
+    the teacher-forced previous frame); random per-character durations make
+    boundary timing observable only through the text — i.e. through
+    attention. The ground-truth alignment stays monotonic, just not
+    uniform-slope, so the monotonicity/diag-corr scores still apply."""
     rs = np.random.default_rng(seed)
     os.makedirs(os.path.join(corpus_dir, "wavs"), exist_ok=True)
     alphabet = "abcdefghijklmnopqrstuvwxyz"[:alphabet_size]
@@ -231,9 +240,14 @@ def generate_char_tone_corpus(corpus_dir: str, n: int = 8,
         text = "".join(chars)
         segs = []
         for c in chars:
+            dur = char_sec
+            if char_sec_jitter > 0:
+                dur = char_sec * float(rs.uniform(1 - char_sec_jitter,
+                                                  1 + char_sec_jitter))
             f0 = 180.0 + 55.0 * (ord(c) - ord("a"))
-            t = np.arange(int(char_sec * sample_rate)) / sample_rate
-            env = np.minimum(1.0, np.minimum(t / 0.008, (char_sec - t) / 0.008).clip(0))
+            t = np.arange(int(dur * sample_rate)) / sample_rate
+            ramp = min(0.008, dur / 4)
+            env = np.minimum(1.0, np.minimum(t / ramp, (dur - t) / ramp).clip(0))
             segs.append(0.6 * np.sin(2 * np.pi * f0 * t) * env)
         save_wav(os.path.join(corpus_dir, "wavs", utt_id + ".wav"),
                  np.concatenate(segs).astype(np.float32), sample_rate)
