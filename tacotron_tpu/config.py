@@ -326,7 +326,11 @@ PRESETS: dict[str, Config] = {
     # Measured r2: 614.9 audio-sec/s e2e at B32 vs 74.5 for synth_gl1000.
     "synth_fast": Config(
         name="synth_fast",
-        audio=AudioConfig(griffin_lim_iters=100, gl_momentum=0.99),
+        # gl_trim_chunks: lane-trim of the partially-windowed boundary chunks,
+        # measured 1.08x on the GL iteration (1.42 vs 1.54 ms/iter, B32x5s
+        # v5e) at identical residual magnitude error (scripts/bench_pallas_gl)
+        audio=AudioConfig(griffin_lim_iters=100, gl_momentum=0.99,
+                          gl_trim_chunks=True),
         infer=InferConfig(early_exit=True, trim_before_gl=True),
     ),
 }
