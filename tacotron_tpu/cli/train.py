@@ -42,8 +42,9 @@ def main(argv=None):
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (SURVEY.md §5.2)")
     p.add_argument("--debug-sync", action="store_true",
-                   help="per summary interval: cross-host step agreement + "
-                        "input-shard consistency checks (SURVEY.md §5.2)")
+                   help="cross-host batch-shape agreement EVERY step, plus "
+                        "step agreement + input-shard content-distinctness "
+                        "at summary cadence (SURVEY.md §5.2)")
     p.add_argument("--eval-every", type=int, default=0,
                    help="every N steps: synthesize --eval-text and write an "
                         "audio + alignment summary (reference behavior, "
@@ -165,10 +166,17 @@ def main(argv=None):
                 jax.profiler.start_trace(os.path.join(args.run_dir, "trace"))
                 tracing = True
             b = next(it)
-            if args.debug_sync and (step + 1) % cfg.train.summary_every == 0:
-                multihost.assert_same_step(step)
-                multihost.assert_shard_consistency(
+            if args.debug_sync:
+                # shapes EVERY step (one 8-byte allgather — catches bucket
+                # divergence at the offending step, not at a deadlock later);
+                # the costlier step + content-distinctness checks at summary
+                # cadence
+                multihost.assert_same_shapes(
                     (b.text, b.text_len, b.mel, b.linear, b.frame_len))
+                if (step + 1) % cfg.train.summary_every == 0:
+                    multihost.assert_same_step(step)
+                    multihost.assert_shard_consistency(
+                        (b.text, b.text_len, b.mel, b.linear, b.frame_len))
             arrays = shard_batch(
                 (jnp.asarray(b.text), jnp.asarray(b.text_len), jnp.asarray(b.mel),
                  jnp.asarray(b.linear), jnp.asarray(b.frame_len)),

