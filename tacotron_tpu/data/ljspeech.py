@@ -256,6 +256,61 @@ def generate_char_tone_corpus(corpus_dir: str, n: int = 8,
         f.write("\n".join(lines) + "\n")
 
 
+def decode_char_tones(wav: np.ndarray, sample_rate: int = 22050,
+                      alphabet_size: int = 26, win: int = 512,
+                      n_fft: int = 2048, hop: int = 64,
+                      min_run: int = 3) -> str:
+    """Inverse of generate_char_tone_corpus: wav -> text (pure numpy).
+
+    Per analysis frame (window ~1 char long so adjacent tones don't smear;
+    zero-padded FFT for frequency resolution below the 55 Hz pitch spacing),
+    the dominant frequency is snapped to the corpus pitch grid
+    (f0 = 180 + 55*k); consecutive runs of the same character collapse to one
+    symbol (evidence prompts avoid adjacent duplicates, so runs map 1:1 to
+    characters); low-energy frames (silence/padding tails) are dropped. Used
+    by the end-to-end audio-evidence gate: synthesized audio is machine-
+    checkable back to its prompt — the objective stand-in for the reference
+    author listening to TensorBoard audio summaries (SURVEY.md §4.1)."""
+    if len(wav) < win:
+        return ""
+    n_frames = 1 + (len(wav) - win) // hop
+    idx = np.arange(win)[None, :] + hop * np.arange(n_frames)[:, None]
+    frames = wav[idx] * np.hanning(win)
+    spec = np.abs(np.fft.rfft(frames, n=n_fft, axis=1))   # (T, F)
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / sample_rate)
+    # restrict to the tone band (alphabet pitches span 180..180+55*25 Hz)
+    band = (freqs >= 120.0) & (freqs <= 180.0 + 55.0 * alphabet_size)
+    band_idx = np.nonzero(band)[0]
+    peak = spec[:, band_idx].max(axis=1)
+    voiced = peak > 0.1 * (peak.max() + 1e-9)
+    dom = freqs[band_idx[spec[:, band_idx].argmax(axis=1)]]
+    chars = np.clip(np.round((dom - 180.0) / 55.0), 0,
+                    alphabet_size - 1).astype(int)
+    # collapse to runs over voiced frames only
+    runs = []
+    for c, v in zip(chars, voiced):
+        if not v:
+            continue
+        if runs and runs[-1][0] == c:
+            runs[-1][1] += 1
+        else:
+            runs.append([c, 1])
+    return "".join(chr(ord("a") + c) for c, ln in runs if ln >= min_run)
+
+
+def char_accuracy(ref: str, hyp: str) -> float:
+    """1 - levenshtein(ref, hyp)/len(ref) (floored at 0)."""
+    m, n = len(ref), len(hyp)
+    d = np.arange(n + 1, dtype=np.int32)
+    for i in range(1, m + 1):
+        prev_diag, d[0] = d[0], i
+        for j in range(1, n + 1):
+            prev_diag, d[j] = d[j], min(
+                d[j] + 1, d[j - 1] + 1,
+                prev_diag + (ref[i - 1] != hyp[j - 1]))
+    return max(0.0, 1.0 - d[n] / max(m, 1))
+
+
 def generate_synthetic_corpus(corpus_dir: str, n: int = 8, sample_rate: int = 22050,
                               seed: int = 0, min_sec: float = 0.4,
                               max_sec: float = 1.2) -> None:
