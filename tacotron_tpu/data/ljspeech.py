@@ -35,15 +35,41 @@ from tacotron_tpu.dsp import melspectrogram, spectrogram
 
 
 def load_wav(path: str, expect_rate: int | None = None) -> np.ndarray:
-    """16-bit PCM mono wav -> float32 in [-1, 1] (stdlib; librosa-free)."""
+    """16-bit PCM mono wav -> float32 in [-1, 1] (stdlib; librosa-free).
+
+    When the file's native rate differs from ``expect_rate`` the signal is
+    polyphase-resampled to it — the reference loaded through librosa, which
+    resampled to the configured rate on load (SURVEY.md §2.1 #2 [R]); without
+    this, native-rate corpora like 48 kHz VCTK could not be preprocessed at
+    the model's 22.05 kHz config."""
     with wave.open(path, "rb") as f:
         assert f.getnchannels() == 1, f"{path}: expected mono"
         assert f.getsampwidth() == 2, f"{path}: expected 16-bit PCM"
         rate = f.getframerate()
-        if expect_rate is not None and rate != expect_rate:
-            raise ValueError(f"{path}: rate {rate} != expected {expect_rate}")
         data = np.frombuffer(f.readframes(f.getnframes()), dtype="<i2")
-    return (data.astype(np.float32)) / 32768.0
+    y = data.astype(np.float32) / 32768.0
+    if expect_rate is not None and rate != expect_rate:
+        y = resample(y, rate, expect_rate)
+    return y
+
+
+def resample(y: np.ndarray, orig_rate: int, target_rate: int) -> np.ndarray:
+    """Rate conversion: scipy polyphase (windowed-sinc anti-aliasing) with a
+    numpy linear-interpolation fallback if scipy is ever absent."""
+    if orig_rate == target_rate:
+        return y
+    from math import gcd
+
+    g = gcd(int(orig_rate), int(target_rate))
+    up, down = target_rate // g, orig_rate // g
+    try:
+        from scipy.signal import resample_poly
+
+        return resample_poly(y, up, down).astype(np.float32)
+    except ImportError:
+        n_out = int(round(len(y) * target_rate / orig_rate))
+        t = np.arange(n_out, dtype=np.float64) * (orig_rate / target_rate)
+        return np.interp(t, np.arange(len(y)), y).astype(np.float32)
 
 
 def save_wav(path: str, wav: np.ndarray, sample_rate: int) -> None:

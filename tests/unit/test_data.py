@@ -177,6 +177,47 @@ class TestLoader:
         assert all(b.text.shape[0] == 2 for b in seen)
 
 
+class TestResample:
+    def test_load_wav_resamples_to_expected_rate(self, tmp_path):
+        """48 kHz source (VCTK's native rate) loaded at 22.05 kHz: length
+        scales and a pure tone keeps its frequency (the reference resampled
+        on load via librosa, SURVEY.md §2.1 #2)."""
+        sr_in, sr_out, f0, dur = 48000, 22050, 440.0, 0.5
+        t = np.arange(int(sr_in * dur)) / sr_in
+        path = str(tmp_path / "tone48k.wav")
+        ljspeech.save_wav(path, 0.5 * np.sin(2 * np.pi * f0 * t), sr_in)
+        y = ljspeech.load_wav(path, expect_rate=sr_out)
+        assert abs(len(y) - int(dur * sr_out)) <= 2
+        spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+        peak = np.fft.rfftfreq(len(y), 1 / sr_out)[spec.argmax()]
+        assert abs(peak - f0) < 5.0
+        # same-rate load is untouched
+        path2 = str(tmp_path / "tone22k.wav")
+        ljspeech.save_wav(path2, y, sr_out)
+        np.testing.assert_array_equal(
+            ljspeech.load_wav(path2, expect_rate=sr_out),
+            ljspeech.load_wav(path2))
+
+    def test_preprocess_vctk_native_rate(self, tmp_path):
+        """End-to-end: a 48 kHz vctk-layout corpus preprocesses at the model
+        rate (r2 raised ValueError here — metadata-only parity)."""
+        root = tmp_path / "vctk"
+        (root / "txt" / "p225").mkdir(parents=True)
+        (root / "wav48" / "p225").mkdir(parents=True)
+        t = np.arange(24000) / 48000.0
+        for u in ["p225_001", "p225_002"]:
+            (root / "txt" / "p225" / f"{u}.txt").write_text(f"utt {u}")
+            ljspeech.save_wav(str(root / "wav48" / "p225" / f"{u}.wav"),
+                              0.4 * np.sin(2 * np.pi * 300 * t), 48000)
+        stats = ljspeech.preprocess(str(root), str(tmp_path / "out"), ACFG,
+                                    fmt="vctk")
+        assert stats["n_utterances"] == 2
+        ds = Dataset(str(tmp_path / "out"))
+        _, mel, _ = ds.utterance(0)
+        n_resampled = int(24000 * ACFG.sample_rate / 48000)   # 0.5 s @ 22050
+        assert len(mel) == n_resampled // ACFG.hop_length + 1
+
+
 class TestCorpusFormats:
     def test_vctk_layout(self, tmp_path):
         import wave as wave_mod
