@@ -116,16 +116,21 @@ def main(argv=None):
     )
     cfg = apply_overrides(cfg, args.overrides)
 
+    mesh = make_mesh(cfg.mesh)
+    n_dev = mesh.devices.size
+    if args.batch_size is None and cfg.train.per_chip_batch_size:
+        # topology-agnostic presets (pod_dp): global batch = per-chip sweet
+        # spot x live device count, whatever the chips-per-host layout
+        cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, batch_size=cfg.train.per_chip_batch_size * n_dev))
+    assert cfg.train.batch_size % n_dev == 0, (
+        f"global batch {cfg.train.batch_size} not divisible by {n_dev} devices"
+    )
+
     os.makedirs(args.run_dir, exist_ok=True)
     if multihost.is_primary():
         with open(os.path.join(args.run_dir, "config.json"), "w") as f:
             f.write(cfg.to_json())
-
-    mesh = make_mesh(cfg.mesh)
-    n_dev = mesh.devices.size
-    assert cfg.train.batch_size % n_dev == 0, (
-        f"global batch {cfg.train.batch_size} not divisible by {n_dev} devices"
-    )
 
     loader = DataLoader(
         ds, batch_size=cfg.train.batch_size // jax.process_count(),

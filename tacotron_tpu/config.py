@@ -125,6 +125,11 @@ class TrainConfig:
     """Optimisation (paper §3.3; SURVEY.md §2.1 #13)."""
 
     batch_size: int = 32              # global batch (paper §3.3)
+    # >0: the train CLI derives the global batch as per_chip_batch_size *
+    # n_devices once the mesh is known (batch_size then only serves non-CLI
+    # callers) — presets stay host-topology-agnostic instead of baking in an
+    # 8-chip-host assumption
+    per_chip_batch_size: int = 0
     # base rate; overriding scales the whole lr_values schedule
     # proportionally (train/schedule.py)
     learning_rate: float = 1e-3
@@ -308,9 +313,10 @@ PRESETS: dict[str, Config] = {
     # BASELINE.json:10 — autoregressive inference + 1000-iter Griffin-Lim
     "synth_gl1000": Config(name="synth_gl1000"),
     # BASELINE.json:11 — multi-host DP training: per-chip batch 32 is the
-    # v5e sweet spot at T_out~400 with remat (BASELINE.md sweep); global batch
-    # here assumes an 8-chip host — the train CLI scales batches by
-    # process_count, and GSPMD shards over however many chips the mesh holds
+    # v5e sweet spot at T_out~400 with remat (BASELINE.md sweep); the CLI
+    # derives the global batch as 32 * n_devices from the live mesh (any
+    # chips-per-host topology), and GSPMD shards it over the mesh. The
+    # batch_size fallback (= one 8-chip host) serves non-CLI callers only
     "pod_dp": Config(
         name="pod_dp",
         # production-training recipe, measured on v5e (BASELINE.md): hoisted
@@ -318,7 +324,8 @@ PRESETS: dict[str, Config] = {
         # parity path at B256+remat (1.204M vs 851k frames/s/chip)
         model=ModelConfig(remat_decoder=True, tf_decoder="hoisted",
                           compute_dtype="bfloat16"),
-        train=TrainConfig(batch_size=256, summary_every=50),
+        train=TrainConfig(batch_size=256, per_chip_batch_size=32,
+                          summary_every=50),
     ),
     # Production serving recipe (NOT a parity mode): Fast Griffin-Lim
     # (momentum 0.99 x 100 iters reaches vanilla@1000 quality — BASELINE.md,

@@ -135,6 +135,15 @@ class TestConfig:
         assert set(PRESETS) == {"tiny_cpu", "cbhg_parity", "full_1chip",
                                 "synth_gl1000", "pod_dp", "synth_fast"}
 
+    def test_pod_dp_batch_is_per_chip_derived(self):
+        """pod_dp must not bake in a chips-per-host assumption: the CLI
+        derives global batch = per_chip_batch_size * n_devices (weak #8)."""
+        from tacotron_tpu.config import get_config
+        cfg = get_config("pod_dp")
+        assert cfg.train.per_chip_batch_size == 32
+        # non-CLI fallback stays the documented one-8-chip-host product
+        assert cfg.train.batch_size == 256
+
     def test_apply_overrides(self):
         import pytest
         from tacotron_tpu.config import apply_overrides, get_config
