@@ -65,8 +65,16 @@ def gl_iteration_flops(batch: int, frames: int, n_fft: int,
 
 
 def conv_bank_flops(batch: int, t: int, c_in: int, k: int, channels: int,
-                    packed: bool = True) -> float:
-    taps = k * k if packed else k * (k + 1) // 2
+                    packed: bool = True, groups: int = 1) -> float:
+    if not packed:
+        taps = k * (k + 1) // 2
+    else:
+        # each packed group (lo, hi] is a width-hi conv with (hi-lo)*channels
+        # outputs -> hi*(hi-lo) taps (ops/modules.ConvBank); groups=1 -> k*k
+        from tacotron_tpu.ops.modules import conv_bank_group_bounds
+
+        taps = sum(hi * (hi - lo)
+                   for lo, hi in conv_bank_group_bounds(k, groups))
     return 2.0 * batch * t * c_in * channels * taps
 
 
