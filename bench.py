@@ -225,7 +225,8 @@ def main():
         # batcher + prefetch -> host->device transfer each step. One bucket
         # (single compiled shape) sized to ~t_out frames.
         from tacotron_tpu.data import ljspeech
-        from tacotron_tpu.data.loader import DataLoader, Dataset
+        from tacotron_tpu.data.loader import (DataLoader, Dataset,
+                                              device_prefetch)
 
         sec = t_out * cfg.audio.hop_length / cfg.audio.sample_rate
         root = f"/tmp/bench_pipeline_t{t_out}"
@@ -244,8 +245,6 @@ def main():
                                            vocab_size=max(64, len(ds.vocab))))
         loader = DataLoader(ds, batch_size=b, num_buckets=1, r=cfg.model.r)
         t_out_eff = loader.buckets[0].n_frames
-        it = iter(loader)
-
         state = create_train_state(cfg, rng)
         step_fn = make_train_step(cfg, mesh)
 
@@ -253,13 +252,17 @@ def main():
             return shard_batch((bt.text, bt.text_len, bt.mel, bt.linear,
                                 bt.frame_len), mesh, cfg.mesh)
 
+        # depth-2 device prefetch: the async host->device copy of batch N+1
+        # overlaps the step on batch N (same wrapper the train CLI uses)
+        it = device_prefetch(iter(loader), to_dev)
+
         with mesh:
             for _ in range(args.warmup):
-                state, metrics, _ = step_fn(state, *to_dev(next(it)))
+                state, metrics, _ = step_fn(state, *next(it)[1])
             force(metrics["total_loss"])
             t0 = time.time()
             for _ in range(args.steps):
-                state, metrics, _ = step_fn(state, *to_dev(next(it)))
+                state, metrics, _ = step_fn(state, *next(it)[1])
             force(metrics["total_loss"])
             dt = time.time() - t0
         frames_per_s = args.steps * b * t_out_eff / dt

@@ -82,7 +82,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from tacotron_tpu.config import apply_overrides, get_config
-    from tacotron_tpu.data.loader import DataLoader, Dataset
+    from tacotron_tpu.data.loader import DataLoader, Dataset, device_prefetch
     from tacotron_tpu.parallel import make_mesh, shard_batch
     from tacotron_tpu.train import checkpoint
     from tacotron_tpu.train.step import TrainState, create_train_state, make_train_step
@@ -157,7 +157,17 @@ def main(argv=None):
     writer = SummaryWriter(os.path.join(args.run_dir, "tb"),
                            enabled=multihost.is_primary())
 
-    it = iter(loader)
+    # host->device copies overlap the device step (device_put is async;
+    # depth 2 keeps one batch in flight) — without this the transfer
+    # serialises with compute and bounds throughput at the host-link rate
+    def to_dev(b):
+        return shard_batch(
+            (jnp.asarray(b.text), jnp.asarray(b.text_len), jnp.asarray(b.mel),
+             jnp.asarray(b.linear), jnp.asarray(b.frame_len)),
+            mesh, cfg.mesh,
+        )
+
+    it = device_prefetch(iter(loader), to_dev)
     t_last = time.time()
     frames_since = 0
     step = start_step
@@ -170,7 +180,7 @@ def main(argv=None):
             if trace_first >= 0 and step + 1 >= trace_first and not tracing:
                 jax.profiler.start_trace(os.path.join(args.run_dir, "trace"))
                 tracing = True
-            b = next(it)
+            b, arrays = next(it)
             if args.debug_sync:
                 # shapes EVERY step (one 8-byte allgather — catches bucket
                 # divergence at the offending step, not at a deadlock later);
@@ -182,11 +192,6 @@ def main(argv=None):
                     multihost.assert_same_step(step)
                     multihost.assert_shard_consistency(
                         (b.text, b.text_len, b.mel, b.linear, b.frame_len))
-            arrays = shard_batch(
-                (jnp.asarray(b.text), jnp.asarray(b.text_len), jnp.asarray(b.mel),
-                 jnp.asarray(b.linear), jnp.asarray(b.frame_len)),
-                mesh, cfg.mesh,
-            )
             state, metrics, alignments = step_fn(state, *arrays)
             step += 1
             if tracing and step >= trace_last:

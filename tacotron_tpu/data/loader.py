@@ -205,3 +205,30 @@ class DataLoader:
                 yield q.get()
         finally:
             stop.set()
+
+
+def device_prefetch(batch_iter, put_fn, depth: int = 2):
+    """Overlap host->device transfer with device compute.
+
+    ``put_fn(batch) -> device arrays`` must use an ASYNC transfer
+    (jax.device_put / sharded device_put: it enqueues the copy and returns
+    immediately). Keeping ``depth`` batches in flight means the step consuming
+    batch N runs while batch N+1's bytes move — without this the transfer
+    serialises with the step (the reference's queue runners owned this
+    overlap on the GPU side; SURVEY.md §2.3 "intra-op concurrency").
+    Yields (host_batch, device_arrays) pairs so callers keep the host-side
+    metadata (bucket id, frame counts, debug-sync hashes).
+    """
+    import collections
+
+    q: "collections.deque" = collections.deque()
+    it = iter(batch_iter)
+    try:
+        while True:
+            while len(q) < depth:
+                b = next(it)
+                q.append((b, put_fn(b)))
+            yield q.popleft()
+    except StopIteration:
+        while q:
+            yield q.popleft()
