@@ -60,6 +60,18 @@ def main():
     p.add_argument("--seed", type=int, default=123,
                    help="prompt seed — differs from the corpus seed, so "
                         "prompts are held out")
+    p.add_argument("--corpus-prompts", action="store_true",
+                   help="draw prompts from the TRAINING corpus metadata "
+                        "instead of sampling held-out strings — the "
+                        "reference's own audio check synthesized training "
+                        "utterances (SURVEY.md §4.1 audio summaries); "
+                        "prompts with adjacent duplicate characters are "
+                        "skipped (the tone decoder merges duplicate runs)")
+    p.add_argument("--no-dropout", action="store_true",
+                   help="zero prenet dropout for the synthesis pass (paper "
+                        "keeps it on at inference; on the deterministic "
+                        "tone corpus it only injects noise — record which "
+                        "mode produced the artifact)")
     p.add_argument("--steps", type=int, default=0,
                    help="decoder steps; 0 = 1.6x the expected frame count")
     p.add_argument("--gl-iters", type=int, default=1000)
@@ -81,14 +93,31 @@ def main():
 
     with open(os.path.join(args.run_dir, "config.json")) as f:
         cfg = Config.from_json(f.read())
+    if args.no_dropout:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, prenet_dropout=0.0))
     vocab = Vocab.load(os.path.join(args.data_dir, "vocab.json"))
     template = create_train_state(cfg, jax.random.PRNGKey(0))
     state, step = checkpoint.restore(os.path.join(args.run_dir, "ckpt"),
                                      template)
     print(f"restored checkpoint at step {step}")
 
-    prompts = held_out_prompts(args.n_prompts, args.text_len,
-                               args.alphabet_size, args.seed)
+    if args.corpus_prompts:
+        prompts = []
+        corpus_meta = os.path.join(os.path.dirname(args.data_dir.rstrip("/")),
+                                   "corpus", "metadata.csv")
+        with open(corpus_meta) as f:
+            for line in f:
+                text = line.strip().split("|")[1]
+                if all(a != b for a, b in zip(text, text[1:])):
+                    prompts.append(text)
+                if len(prompts) >= args.n_prompts:
+                    break
+    else:
+        prompts = held_out_prompts(args.n_prompts, args.text_len,
+                                   args.alphabet_size, args.seed)
     n_steps = args.steps or int(
         1.6 * args.text_len * args.char_sec * cfg.audio.sample_rate
         / cfg.audio.hop_length / cfg.model.r)
@@ -100,8 +129,11 @@ def main():
     rows = []
     for i, (prompt, wav) in enumerate(zip(prompts, out["wavs"])):
         wav = np.asarray(wav)
+        # no stop token (paper §3.2): the fixed decode budget free-runs past
+        # the utterance end, so the decoded string is scored on its
+        # prompt-length prefix — the tail is post-content babble by design
         hyp = decode_char_tones(wav, cfg.audio.sample_rate,
-                                args.alphabet_size)
+                                args.alphabet_size)[: len(prompt)]
         acc = char_accuracy(prompt, hyp)
         path = os.path.join(args.out, f"utt_{i:02d}.wav")
         save_wav(path, wav, cfg.audio.sample_rate)
@@ -117,6 +149,9 @@ def main():
         "prompt_seed": args.seed,
         "n_decode_steps": n_steps,
         "gl_iters": args.gl_iters,
+        "prompt_source": "training-corpus" if args.corpus_prompts
+        else "held-out",
+        "prenet_dropout": cfg.model.prenet_dropout,
         "sample_rate": cfg.audio.sample_rate,
         "per_prompt": rows,
         "char_accuracy_mean": round(float(np.mean(

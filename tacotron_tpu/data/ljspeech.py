@@ -285,16 +285,19 @@ def generate_char_tone_corpus(corpus_dir: str, n: int = 8,
 def decode_char_tones(wav: np.ndarray, sample_rate: int = 22050,
                       alphabet_size: int = 26, win: int = 512,
                       n_fft: int = 2048, hop: int = 64,
-                      min_run: int = 3) -> str:
+                      min_run: int = 4, grid_tol_hz: float = 15.0) -> str:
     """Inverse of generate_char_tone_corpus: wav -> text (pure numpy).
 
     Per analysis frame (window ~1 char long so adjacent tones don't smear;
     zero-padded FFT for frequency resolution below the 55 Hz pitch spacing),
     the dominant frequency is snapped to the corpus pitch grid
-    (f0 = 180 + 55*k); consecutive runs of the same character collapse to one
-    symbol (evidence prompts avoid adjacent duplicates, so runs map 1:1 to
-    characters); low-energy frames (silence/padding tails) are dropped. Used
-    by the end-to-end audio-evidence gate: synthesized audio is machine-
+    (f0 = 180 + 55*k); frames whose dominant frequency sits further than
+    ``grid_tol_hz`` from the grid are dropped (synthesized audio glides
+    between tones — off-grid transition frames would otherwise register as
+    phantom characters); consecutive runs of the same character collapse to
+    one symbol (evidence prompts avoid adjacent duplicates, so runs map 1:1
+    to characters); low-energy frames (silence/padding tails) are dropped.
+    Used by the end-to-end audio-evidence gate: synthesized audio is machine-
     checkable back to its prompt — the objective stand-in for the reference
     author listening to TensorBoard audio summaries (SURVEY.md §4.1)."""
     if len(wav) < win:
@@ -310,9 +313,11 @@ def decode_char_tones(wav: np.ndarray, sample_rate: int = 22050,
     peak = spec[:, band_idx].max(axis=1)
     voiced = peak > 0.1 * (peak.max() + 1e-9)
     dom = freqs[band_idx[spec[:, band_idx].argmax(axis=1)]]
-    chars = np.clip(np.round((dom - 180.0) / 55.0), 0,
-                    alphabet_size - 1).astype(int)
-    # collapse to runs over voiced frames only
+    k = np.round((dom - 180.0) / 55.0)
+    if grid_tol_hz is not None:
+        voiced &= np.abs(dom - (180.0 + 55.0 * k)) < grid_tol_hz
+    chars = np.clip(k, 0, alphabet_size - 1).astype(int)
+    # collapse to runs over voiced, on-grid frames only
     runs = []
     for c, v in zip(chars, voiced):
         if not v:

@@ -33,7 +33,10 @@ def test_committed_audio_decodes_back_to_its_prompts():
     accs = []
     for row in s["per_prompt"]:
         wav = load_wav(os.path.join(ART, row["wav"]))
-        hyp = decode_char_tones(wav, s["sample_rate"], s["alphabet_size"])
+        # prompt-length prefix: no stop token, so the fixed decode budget
+        # free-runs past the content (same protocol as the generator script)
+        hyp = decode_char_tones(wav, s["sample_rate"],
+                                s["alphabet_size"])[: len(row["prompt"])]
         acc = char_accuracy(row["prompt"], hyp)
         accs.append(acc)
         # decode is deterministic on the committed wav: must match the
