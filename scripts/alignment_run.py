@@ -88,6 +88,13 @@ def main():
                         "trained model can be driven by cli/synthesize — the "
                         "end-to-end audio-evidence path "
                         "(scripts/audio_evidence.py) builds on this")
+    p.add_argument("--resume-from", default=None,
+                   help="run dir written by a previous --save-run: restore "
+                        "its latest checkpoint and continue training (the "
+                        "corpus is regenerated deterministically from the "
+                        "same args, so the data distribution is identical); "
+                        "--steps counts ADDITIONAL steps on top of the "
+                        "restored step")
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--save-every", type=int, default=0,
                    help="also score + write artifacts every N steps (0 = only "
@@ -141,6 +148,13 @@ def main():
     eval_batch = to_dev(b)             # in single-batch overfit mode)
 
     state = create_train_state(cfg, jax.random.PRNGKey(3))
+    step0 = 0
+    if args.resume_from:
+        from tacotron_tpu.train import checkpoint
+
+        state, step0 = checkpoint.restore(
+            os.path.join(args.resume_from, "ckpt"), state)
+        print(f"resumed from {args.resume_from} at step {step0}", flush=True)
     step = make_train_step(cfg)
 
     curve = []
@@ -214,10 +228,10 @@ def main():
                           ("monotonic_frac_mean", "diag_corr_mean", "final")}),
               flush=True)
 
-    for i in range(1, args.steps + 1):
+    for i in range(step0 + 1, step0 + args.steps + 1):
         batch = eval_batch if args.batch_size == 0 else to_dev(next(it))
         state, m, al = step(state, *batch)
-        if i % args.log_every == 0 or i == args.steps:
+        if i % args.log_every == 0 or i == step0 + args.steps:
             al_np = np.asarray(al)
             ent = entropy(al_np)
             row = {"step": i, "total_loss": float(m["total_loss"]),
@@ -226,10 +240,19 @@ def main():
             curve.append(row)
             print(f"step {i:5d}  loss {row['total_loss']:.4f}  "
                   f"mel {row['mel_loss']:.4f}  entropy {ent:.3f}", flush=True)
-        if args.save_every and i % args.save_every == 0 and i < args.steps:
+        if args.save_every and i % args.save_every == 0 \
+                and i < step0 + args.steps:
             score_and_save(state, i)
+            if args.save_run:   # a truncated long run still leaves a ckpt
+                from tacotron_tpu.train import checkpoint
 
-    score_and_save(state, args.steps)
+                os.makedirs(args.save_run, exist_ok=True)
+                with open(os.path.join(args.save_run, "config.json"),
+                          "w") as f:
+                    f.write(cfg.to_json())
+                checkpoint.save(os.path.join(args.save_run, "ckpt"), i, state)
+
+    score_and_save(state, step0 + args.steps)
 
     if args.save_run:
         from tacotron_tpu.train import checkpoint

@@ -294,9 +294,22 @@ def decode_char_tones(wav: np.ndarray, sample_rate: int = 22050,
     (f0 = 180 + 55*k); frames whose dominant frequency sits further than
     ``grid_tol_hz`` from the grid are dropped (synthesized audio glides
     between tones — off-grid transition frames would otherwise register as
-    phantom characters); consecutive runs of the same character collapse to
-    one symbol (evidence prompts avoid adjacent duplicates, so runs map 1:1
-    to characters); low-energy frames (silence/padding tails) are dropped.
+    phantom characters); low-energy frames (silence/padding tails) are
+    dropped. The surviving frame runs are cleaned with three content-blind,
+    physics-based rules before collapsing to characters (all thresholds in
+    frames, derived from ``min_run``):
+
+      1. single-frame runs are never characters (a rendered tone spans
+         >= min_run analysis frames);
+      2. a short run sandwiched between two runs of one same character is
+         a rendering *wobble* of that character (the synthesized pitch
+         momentarily crossing a grid neighbour), not a new symbol — it is
+         deleted and its flanks merged;
+      3. a short run whose pitch lies strictly BETWEEN its neighbours'
+         pitches is a *pass-through* glide artifact (a monotonic pitch
+         transition crosses every intermediate grid frequency exactly),
+         not a character.
+
     Used by the end-to-end audio-evidence gate: synthesized audio is machine-
     checkable back to its prompt — the objective stand-in for the reference
     author listening to TensorBoard audio summaries (SURVEY.md §4.1)."""
@@ -317,16 +330,55 @@ def decode_char_tones(wav: np.ndarray, sample_rate: int = 22050,
     if grid_tol_hz is not None:
         voiced &= np.abs(dom - (180.0 + 55.0 * k)) < grid_tol_hz
     chars = np.clip(k, 0, alphabet_size - 1).astype(int)
-    # collapse to runs over voiced, on-grid frames only
+    # contiguous runs over voiced, on-grid frames: [char, n_frames, start, end)
     runs = []
-    for c, v in zip(chars, voiced):
+    for i, (c, v) in enumerate(zip(chars, voiced)):
         if not v:
             continue
-        if runs and runs[-1][0] == c:
+        if runs and runs[-1][0] == c and i == runs[-1][3]:
             runs[-1][1] += 1
+            runs[-1][3] = i + 1
         else:
-            runs.append([c, 1])
-    return "".join(chr(ord("a") + c) for c, ln in runs if ln >= min_run)
+            runs.append([c, 1, i, i + 1])
+    # rule 1: single-frame runs are never characters
+    runs = [r for r in runs if r[1] >= 2]
+    # merge same-char runs split by a short gap (dropped glide/silence frames)
+    merged = []
+    for r in runs:
+        if merged and merged[-1][0] == r[0] and r[2] - merged[-1][3] <= min_run:
+            merged[-1][1] += r[1]
+            merged[-1][3] = r[3]
+        else:
+            merged.append(r)
+    runs = merged
+    # rule 2: wobble — short run between two same-char flanks
+    changed = True
+    while changed:
+        changed = False
+        for i in range(1, len(runs) - 1):
+            if (runs[i][1] < min_run
+                    and runs[i - 1][0] == runs[i + 1][0]
+                    and runs[i][0] != runs[i - 1][0]
+                    and runs[i + 1][2] - runs[i - 1][3] < 3 * min_run):
+                runs[i - 1][1] += runs[i + 1][1]
+                runs[i - 1][3] = runs[i + 1][3]
+                del runs[i:i + 2]
+                changed = True
+                break
+    # rule 3: pass-through glides; other short (>=2 frame) runs are kept —
+    # the model compresses some character durations below min_run
+    kept = []
+    for i, (c, ln, _s, _e) in enumerate(runs):
+        if ln < min_run:
+            nb = [runs[j][0] for j in (i - 1, i + 1) if 0 <= j < len(runs)]
+            if nb and min(nb) < c < max(nb):
+                continue
+        kept.append(c)
+    out = []
+    for c in kept:
+        if not out or out[-1] != c:
+            out.append(c)
+    return "".join(chr(ord("a") + c) for c in out)
 
 
 def char_accuracy(ref: str, hyp: str) -> float:

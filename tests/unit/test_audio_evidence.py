@@ -74,6 +74,54 @@ def test_char_tone_decoder_roundtrip_on_ground_truth():
         assert ljspeech.char_accuracy(text, hyp) >= 0.9, (text, hyp)
 
 
+def _tone(c: str, dur: float, sr: int = 22050) -> np.ndarray:
+    f0 = 180.0 + 55.0 * (ord(c) - ord("a"))
+    t = np.arange(int(dur * sr)) / sr
+    ramp = min(0.008, dur / 4)
+    env = np.minimum(1.0, np.minimum(t / ramp, (dur - t) / ramp).clip(0))
+    return (0.6 * np.sin(2 * np.pi * f0 * t) * env).astype(np.float32)
+
+
+def _glide(c0: str, c1: str, dur: float, sr: int = 22050) -> np.ndarray:
+    """Linear pitch glide c0 -> c1 — the transition artifact synthesized
+    audio produces between tones."""
+    f0 = 180.0 + 55.0 * (ord(c0) - ord("a"))
+    f1 = 180.0 + 55.0 * (ord(c1) - ord("a"))
+    t = np.arange(int(dur * sr)) / sr
+    phase = 2 * np.pi * (f0 * t + (f1 - f0) * t**2 / (2 * dur))
+    return (0.6 * np.sin(phase)).astype(np.float32)
+
+
+def test_decoder_drops_pass_through_glides():
+    """A slow glide a->e dwells on every intermediate grid pitch; rule 3
+    keeps only the endpoints."""
+    sr = 22050
+    wav = np.concatenate([_tone("a", 0.03, sr), _glide("a", "e", 0.03, sr),
+                          _tone("e", 0.03, sr)])
+    hyp = decode_char_tones(wav, sr)
+    assert hyp == "ae", hyp
+
+
+def test_decoder_merges_same_char_wobble():
+    """A short excursion to a grid neighbour inside one tone is rendering
+    wobble (rule 2), not a character."""
+    sr = 22050
+    wav = np.concatenate([_tone("m", 0.02, sr), _tone("n", 0.008, sr),
+                          _tone("m", 0.02, sr)])
+    hyp = decode_char_tones(wav, sr)
+    assert hyp == "m", hyp
+
+
+def test_decoder_keeps_short_non_glide_characters():
+    """A 2-3 frame run whose pitch is NOT between its neighbours' is a real
+    (compressed) character — e.g. x between s and b."""
+    sr = 22050
+    wav = np.concatenate([_tone("s", 0.03, sr), _tone("x", 0.009, sr),
+                          _tone("b", 0.03, sr)])
+    hyp = decode_char_tones(wav, sr)
+    assert hyp == "sxb", hyp
+
+
 def test_char_accuracy_is_edit_distance_based():
     assert char_accuracy("abc", "abc") == 1.0
     assert char_accuracy("abc", "abd") == pytest.approx(2 / 3)
