@@ -88,7 +88,17 @@ class ModelConfig:
                                       # contiguous width groups (1 = one fully
                                       # packed conv; more groups cut the
                                       # structural-zero taps at the cost of
-                                      # extra convs — A/B on hardware)
+                                      # extra convs). Measured on v5e
+                                      # (scripts/bench_bank_groups.py, r3,
+                                      # B32xT128): fwd g1 0.49 ms / 71 TFLOP/s
+                                      # beats g2/g4/unpacked by 1.26-1.47x —
+                                      # the one wide conv tiles the MXU better
+                                      # than its 47% structural zeros cost;
+                                      # fwd+bwd g4 wins by 1.10x (0.805 vs
+                                      # 0.886 ms) but the bank is ~6% of a
+                                      # train step so that is <0.6% end-to-end.
+                                      # g1 stays the default: best inference,
+                                      # one compiled conv, near-tied training.
     remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
                                       # (SURVEY.md §7.3 item 5: trades decoder
                                       # recompute for teacher-forced HBM)
