@@ -257,3 +257,30 @@ class TestCorpusFormats:
                           np.zeros(100, np.float32), 22050)
         entries = ljspeech.read_metadata(str(root), fmt="blizzard")
         assert len(entries) == 1 and entries[0][2] == "Hello there."
+
+
+class TestDevicePrefetch:
+    """data/loader.device_prefetch: the host->device overlap stage
+    (SURVEY.md §2.3 intra-op concurrency; the queue-runner equivalent)."""
+
+    def test_keeps_depth_batches_in_flight_and_preserves_order(self):
+        from tacotron_tpu.data.loader import device_prefetch
+
+        put_log = []
+        out = []
+        for host, dev in device_prefetch(iter(range(6)),
+                                         lambda b: put_log.append(b) or b * 10,
+                                         depth=2):
+            # when batch N is yielded, batch N+1 must already be put
+            # (that is the overlap): put_log runs ahead of consumption
+            assert len(put_log) >= min(len(out) + 2, 6)
+            out.append((host, dev))
+        assert out == [(i, i * 10) for i in range(6)]
+        assert put_log == list(range(6))
+
+    def test_drains_tail_on_exhaustion(self):
+        from tacotron_tpu.data.loader import device_prefetch
+
+        got = list(device_prefetch(iter([7]), lambda b: b, depth=4))
+        assert got == [(7, 7)]
+        assert list(device_prefetch(iter([]), lambda b: b)) == []
