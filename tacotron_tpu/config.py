@@ -99,6 +99,13 @@ class ModelConfig:
                                       # train step so that is <0.6% end-to-end.
                                       # g1 stays the default: best inference,
                                       # one compiled conv, near-tied training.
+    scan_unroll: int = 1              # lax.scan unroll factor for the hoisted
+                                      # teacher-forced decoder scan: >1 trades
+                                      # compile time + code size for fewer
+                                      # loop-bookkeeping/fusion boundaries per
+                                      # decoder step (A/B on hardware; the
+                                      # serial GRU/attention chain itself is
+                                      # irreducible)
     remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
                                       # (SURVEY.md §7.3 item 5: trades decoder
                                       # recompute for teacher-forced HBM)

@@ -204,7 +204,8 @@ def _hoisted_teacher_forced(p, cfg: ModelConfig, frames_in, keys, memory,
               for _ in range(cfg.decoder_depth)),
     )
     _, (hs, aligns) = jax.lax.scan(
-        step, carry0, (gx.swapaxes(0, 1), cx.swapaxes(0, 1)))
+        step, carry0, (gx.swapaxes(0, 1), cx.swapaxes(0, 1)),
+        unroll=cfg.scan_unroll)
 
     # ---- hoisted output projection: one (S*B, d) matmul after the scan ----
     frames = (hs.astype(cd) @ wf + bf).astype(f32)      # (S, B, r*n_mels)
