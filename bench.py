@@ -53,6 +53,12 @@ def main():
                         "format, native C++ assembler, prefetch thread, "
                         "host->device transfer) instead of one resident "
                         "device batch — measures the production input path")
+    p.add_argument("--device-cache", action="store_true",
+                   help="with --with-pipeline: device-resident dataset mode — "
+                        "packed arrays uploaded once, each step's padded "
+                        "batch assembled ON DEVICE by a jitted gather; the "
+                        "per-step host->device traffic is five (B,) int32 "
+                        "vectors instead of ~230 MB of features")
     p.add_argument("--metric", default="train", choices=["train", "synth"],
                    help="train = frames/s/chip (primary); synth = end-to-end "
                         "audio-seconds synthesized per second @ GL1000")
@@ -128,6 +134,18 @@ def main():
     n_chips = len(jax.devices())
 
     if args.metric == "synth":
+        # STAGED protocol (VERDICT r3 next #5): the pipeline is measured as
+        # two compiled stages — model pass (encoder + decode + postnet, one
+        # jit) and Griffin-Lim (inv_spectrogram) — and audio-sec/s derives
+        # from the stage sum. The previous one-jit megafunction (encoder +
+        # scan + postnet + GL1000 in a single XLA program) reproducibly
+        # wedges the axon tunnel's compile path (4+ hung attempts, r2+r3;
+        # BASELINE.md inference row), so no driver-run artifact could ever
+        # hold the synth graded metric. The per-dispatch overhead the stage
+        # split adds (~1-3 ms) is <2% of the 0.2-1.4 s GL stage
+        # (scripts/bench_synth_sweep.py measured the protocols against each
+        # other), so the stage sum is a faithful, slightly conservative
+        # bound on the one-jit number.
         import time as _t
 
         from tacotron_tpu.models import Tacotron
@@ -157,7 +175,7 @@ def main():
             use_dropout = cfg.model.prenet_dropout > 0 and not interp
 
             @jax.jit
-            def synth(variables, text, lens, rng):
+            def model_pass(variables, text, lens, rng):
                 v, bs = variables["params"], variables["batch_stats"]
                 memory = encoder.apply(
                     {"params": v["encoder"], "batch_stats": bs["encoder"]},
@@ -173,25 +191,34 @@ def main():
                     collect_alignments=False, interpret=interp)
                 mel = frames.reshape(text.shape[0],
                                      n_steps * cfg.model.r, cfg.model.n_mels)
-                linear = postnet.apply(
+                return postnet.apply(
                     {"params": v["postnet"], "batch_stats": bs["postnet"]},
                     mel)
-                return inv_spectrogram(linear, cfg.audio,
-                                       n_iter=args.gl_iters)
         else:
             @jax.jit
-            def synth(v, text, lens, rng):
+            def model_pass(v, text, lens, rng):
                 out = model.apply(v, text, lens, n_steps=n_steps,
                                   rngs={"dropout": rng})
-                return inv_spectrogram(out.linear, cfg.audio,
-                                       n_iter=args.gl_iters)
+                return out.linear
 
-        wav = synth(variables, text, lens, jax.random.PRNGKey(3))
-        float(jnp.sum(jnp.abs(wav)))  # force (axon: block_until_ready unreliable)
+        def force(x):
+            # device->host read: block_until_ready is NOT reliable on axon
+            return float(jnp.sum(jnp.abs(x)))
+
+        # stage 1: model pass (compile, then steady-state timing)
+        force(model_pass(variables, text, lens, jax.random.PRNGKey(3)))
         t0 = _t.time()
-        wav = synth(variables, text, lens, jax.random.PRNGKey(4))
-        float(jnp.sum(jnp.abs(wav)))
-        dt = _t.time() - t0
+        linear = model_pass(variables, text, lens, jax.random.PRNGKey(4))
+        force(linear)
+        t_model = _t.time() - t0
+        # stage 2: Griffin-Lim on the model output (separate jit cache entry)
+        wav = inv_spectrogram(linear, cfg.audio, n_iter=args.gl_iters)
+        force(wav)
+        t0 = _t.time()
+        wav = inv_spectrogram(linear, cfg.audio, n_iter=args.gl_iters)
+        force(wav)
+        t_gl = _t.time() - t0
+        dt = t_model + t_gl
         audio_s = b * wav.shape[-1] / cfg.audio.sample_rate
         try:
             with open("BASELINE.md") as f:
@@ -200,6 +227,11 @@ def main():
         except OSError:
             ratchet = None
         val = audio_s / dt
+        print(json.dumps({"model_pass_ms": round(t_model * 1e3, 2),
+                          "gl_ms": round(t_gl * 1e3, 2),
+                          "gl_iters": args.gl_iters,
+                          "protocol": "staged(model_jit+gl_jit)"},),
+              file=sys.stderr)
         print(json.dumps({
             "metric": "synth_audio_sec_per_s",
             "value": round(val, 2),
@@ -243,12 +275,15 @@ def main():
         cfg = dataclasses.replace(
             cfg, model=dataclasses.replace(cfg.model,
                                            vocab_size=max(64, len(ds.vocab))))
-        loader = DataLoader(ds, batch_size=b, num_buckets=1, r=cfg.model.r)
+        loader = DataLoader(ds, batch_size=b, num_buckets=1, r=cfg.model.r,
+                            device_cache=args.device_cache)
         t_out_eff = loader.buckets[0].n_frames
         state = create_train_state(cfg, rng)
         step_fn = make_train_step(cfg, mesh)
 
         def to_dev(bt):
+            # device-cache batches are already device arrays — shard_batch is
+            # then a device-side (re)layout, not a host link transfer
             return shard_batch((bt.text, bt.text_len, bt.mel, bt.linear,
                                 bt.frame_len), mesh, cfg.mesh)
 
@@ -269,7 +304,8 @@ def main():
         per_chip = frames_per_s / n_chips
         ratchet = read_ratchet()
         print(json.dumps({
-            "metric": "train_frames_per_s_per_chip_with_pipeline",
+            "metric": "train_frames_per_s_per_chip_with_pipeline"
+                      + ("_device_cache" if args.device_cache else ""),
             "value": round(per_chip, 1),
             "unit": "frames/s/chip",
             "vs_baseline": round(per_chip / ratchet, 4) if ratchet else 1.0,

@@ -226,27 +226,47 @@ class Config:
 
     @staticmethod
     def from_json(s: str) -> "Config":
-        raw = json.loads(s)
+        """Parse a serialized config, STRICTLY.
 
-        def _mk(cls, d):
+        A key present in the JSON but absent from the dataclass (e.g. a field
+        renamed between versions) raises instead of silently falling back to
+        the default — the config written into every run dir is the
+        compatibility contract (SURVEY.md §5.6), and a silent default at
+        synthesize-restore time would change numerics without a trace. The
+        checkpoint loader is strict about shapes/treedef; this matches it.
+        """
+        raw = json.loads(s)
+        known_sections = {"audio", "model", "train", "mesh", "data", "infer",
+                          "name"}
+        alien_sections = set(raw) - known_sections
+        if alien_sections:
+            raise ValueError(
+                f"unknown config section(s) {sorted(alien_sections)} in "
+                f"serialized config — field renamed between versions? "
+                f"(known: {sorted(known_sections)})")
+
+        def _mk(cls, d, section):
             fields = {f.name: f for f in dataclasses.fields(cls)}
+            unknown = set(d) - set(fields)
+            if unknown:
+                raise ValueError(
+                    f"unknown key(s) {sorted(f'{section}.{k}' for k in unknown)} "
+                    f"in serialized config — field renamed between versions? "
+                    f"(known {section} fields: {sorted(fields)})")
             kw = {}
             for k, v in d.items():
-                if k not in fields:
-                    continue
-                ft = fields[k].type
                 if isinstance(v, list):
                     v = tuple(v)
                 kw[k] = v
             return cls(**kw)
 
         return Config(
-            audio=_mk(AudioConfig, raw.get("audio", {})),
-            model=_mk(ModelConfig, raw.get("model", {})),
-            train=_mk(TrainConfig, raw.get("train", {})),
-            mesh=_mk(MeshConfig, raw.get("mesh", {})),
-            data=_mk(DataConfig, raw.get("data", {})),
-            infer=_mk(InferConfig, raw.get("infer", {})),
+            audio=_mk(AudioConfig, raw.get("audio", {}), "audio"),
+            model=_mk(ModelConfig, raw.get("model", {}), "model"),
+            train=_mk(TrainConfig, raw.get("train", {}), "train"),
+            mesh=_mk(MeshConfig, raw.get("mesh", {}), "mesh"),
+            data=_mk(DataConfig, raw.get("data", {}), "data"),
+            infer=_mk(InferConfig, raw.get("infer", {}), "infer"),
             name=raw.get("name", "default"),
         )
 

@@ -3,7 +3,7 @@
 TPU-native replacement for the reference's ``tf.nn.rnn_cell.GRUCell`` +
 ``bidirectional_dynamic_rnn`` / ``dynamic_rnn`` while_loops (SURVEY.md §2.2
 [R]). Gate semantics match TF1's GRUCell exactly (the parity contract,
-pinned in tests/unit/test_gru.py):
+pinned in tests/unit/test_ops.py::TestGRUCell / ::TestScanGRU):
 
     r, u = sigmoid(W_g [x, h] + b_g)        # b_g initialised to 1.0
     c    = tanh(W_c [x, r * h] + b_c)

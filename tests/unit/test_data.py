@@ -176,6 +176,53 @@ class TestLoader:
         seen = [next(it) for _ in range(7)]  # > one epoch: stream rewraps
         assert all(b.text.shape[0] == 2 for b in seen)
 
+    def test_wrap_fill_stays_in_bucket(self, tmp_path):
+        """Fill items drawn when a host's shard runs dry must come from the
+        SAME bucket (ADVICE r3: the old wide fallback cross-bucket-truncated
+        long utterances into short-bucket rows, silently clipping content).
+        3 hosts x tiny buckets forces dry shards."""
+        d = tmp_path / "corpus"
+        ljspeech.generate_synthetic_corpus(str(d), n=9, min_sec=0.2,
+                                           max_sec=1.2)
+        dd = tmp_path / "data"
+        ljspeech.preprocess(str(d), str(dd), ACFG, chunk=4)
+        ds = Dataset(str(dd))
+        P = 3
+        dls = [DataLoader(ds, batch_size=2, num_buckets=3, r=5, seed=7,
+                          process_index=p, process_count=P) for p in range(P)]
+        assert len(dls[0].buckets) > 1
+        filled = 0
+        for dl in dls:
+            for b in dl.epoch(shuffle=True):
+                for i in b.items:
+                    owner = next(bk for bk, idx in dl.assignments.items()
+                                 if i in set(idx.tolist()))
+                    if owner != b.bucket:
+                        filled += 1
+                    assert owner == b.bucket, (
+                        f"item {i} of bucket {owner} filled into {b.bucket}")
+
+    def test_device_cache_matches_host_path(self, data_dir):
+        """Device-resident assembly (jitted gather from once-uploaded packed
+        arrays) must produce byte-identical batches to the host assembler,
+        in the same order under the same seed (VERDICT r3 next #3)."""
+        ds = Dataset(data_dir)
+        host = DataLoader(ds, batch_size=4, num_buckets=2, r=5, seed=3,
+                          use_native=False)
+        dev = DataLoader(ds, batch_size=4, num_buckets=2, r=5, seed=3,
+                         device_cache=True)
+        hb = list(host.epoch(shuffle=True))
+        db = list(dev.epoch(shuffle=True))
+        assert len(hb) == len(db) > 0
+        for h, v in zip(hb, db):
+            assert h.bucket == v.bucket and h.items == v.items
+            assert v.mel.dtype == h.mel.dtype  # f16 layout preserved
+            np.testing.assert_array_equal(np.asarray(v.text), h.text)
+            np.testing.assert_array_equal(np.asarray(v.text_len), h.text_len)
+            np.testing.assert_array_equal(np.asarray(v.mel), h.mel)
+            np.testing.assert_array_equal(np.asarray(v.linear), h.linear)
+            np.testing.assert_array_equal(np.asarray(v.frame_len), h.frame_len)
+
 
 class TestResample:
     def test_load_wav_resamples_to_expected_rate(self, tmp_path):

@@ -130,6 +130,26 @@ class TestConfig:
         cfg2 = Config.from_json(cfg.to_json())
         assert cfg2 == cfg
 
+    def test_from_json_rejects_unknown_keys(self):
+        """A field renamed between versions must fail FAST at restore time,
+        not silently fall back to defaults (VERDICT r3 weak #6): the config
+        serialized into every run dir is the compatibility contract
+        (SURVEY.md §5.6), matching the checkpoint loader's strictness."""
+        import json
+        import pytest
+        from tacotron_tpu.config import Config, get_config
+        cfg = get_config("tiny_cpu")
+        raw = json.loads(cfg.to_json())
+        raw["model"]["alien_knob"] = 7
+        with pytest.raises(ValueError, match=r"model\.alien_knob"):
+            Config.from_json(json.dumps(raw))
+        raw = json.loads(cfg.to_json())
+        raw["vintage_section"] = {"x": 1}
+        with pytest.raises(ValueError, match="vintage_section"):
+            Config.from_json(json.dumps(raw))
+        # partial configs (sections omitted entirely) still parse
+        assert Config.from_json('{"name": "d"}').name == "d"
+
     def test_presets_exist(self):
         from tacotron_tpu.config import PRESETS
         assert set(PRESETS) == {"tiny_cpu", "cbhg_parity", "full_1chip",
