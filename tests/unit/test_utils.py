@@ -59,6 +59,81 @@ class TestRoofline:
             conv_bank_flops(1, 10, 128, 16, 128, packed=False)
         assert decode_step_flops(32, 128) > 0
 
+    def test_train_step_flops_matches_xla_cost_analysis(self):
+        """Pin the whole-step FLOP model (VERDICT r3 next #2) against XLA's
+        own cost analysis, module by module, at tiny shapes.
+
+        XLA's cost_analysis counts a lax.scan body ONCE (not x trip count),
+        so scan-free totals must agree closely and scan-dominated modules
+        must agree after dividing the model by the step count — both checks
+        catch a mis-modelled layer without inheriting the scan quirk."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from tacotron_tpu.config import get_config
+        from tacotron_tpu.models.decoder import Decoder
+        from tacotron_tpu.models.tacotron import Tacotron
+        from tacotron_tpu.utils.roofline import train_step_flops
+
+        m = dataclasses.replace(get_config("full_1chip").model, vocab_size=64)
+        B, Ti, To = 2, 16, 20
+        n_steps = To // m.r
+        text = jax.random.randint(jax.random.PRNGKey(0), (B, Ti), 1, 60)
+        lens = jnp.full((B,), Ti, jnp.int32)
+        mel = jax.random.uniform(jax.random.PRNGKey(1), (B, To, m.n_mels))
+        model = Tacotron(m, train=True)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(3), "dropout": jax.random.PRNGKey(4)},
+            text[:1], lens[:1], gt_mel=mel[:1, : 2 * m.r])
+        p, bs = variables["params"], variables["batch_stats"]
+
+        def xla_flops(fn, *a):
+            ca = jax.jit(fn).lower(*a).compile().cost_analysis()
+            return (ca[0] if isinstance(ca, list) else ca)["flops"]
+
+        # decoder alone: model/step must match XLA's once-counted scan body
+        memory = jax.random.uniform(jax.random.PRNGKey(6), (B, Ti, m.memory_dim))
+        keys = jax.random.uniform(jax.random.PRNGKey(7), (B, Ti, m.attention_dim))
+        mask = jnp.ones((B, Ti), bool)
+        dec = Decoder(m, name="decoder")
+        x_dec = xla_flops(
+            lambda pp: dec.apply({"params": pp["decoder"]}, memory, keys,
+                                 mask, gt_frames=mel,
+                                 rngs={"dropout": jax.random.PRNGKey(8)})[0].sum(), p)
+        from tacotron_tpu.utils.roofline import decode_step_flops
+        per_step = decode_step_flops(
+            B, Ti, n_mels=m.n_mels, r=m.r, prenet=tuple(m.prenet_dims),
+            att_gru=m.attention_gru_dim, att_dim=m.attention_dim,
+            mem_dim=m.memory_dim, dec_dim=m.decoder_gru_dim)
+        assert per_step == pytest.approx(x_dec, rel=0.15)
+
+        # full forward: model minus the scan-repeat corrections lands on XLA
+        def _fwd(pp):
+            out, _ = model.apply(
+                {"params": pp, "batch_stats": bs}, text, lens, gt_mel=mel,
+                rngs={"dropout": jax.random.PRNGKey(5)},
+                mutable=["batch_stats"])
+            # sum BOTH heads: summing only mel would let XLA dead-code
+            # eliminate the postnet entirely
+            return out.mel.sum() + out.linear.sum()
+
+        x_fwd = xla_flops(_fwd, p)
+        est_fwd = train_step_flops(m, B, Ti, To, fwd_only=True)
+        # XLA counts the decoder scan once and each biGRU's recurrent half
+        # once; correct the model the same way before comparing
+        from tacotron_tpu.utils.roofline import gru_seq_flops
+        recur_once = (gru_seq_flops(B, Ti - 1, 0, m.gru_dim, True)
+                      + gru_seq_flops(B, To - 1, 0, m.gru_dim, True))
+        est_quirk = est_fwd - per_step * (n_steps - 1) - recur_once
+        # rel=0.2: XLA's conv count excludes SAME-padding edge MACs — at
+        # these tiny T (16/20) with width-16 kernels that's ~25% of the bank;
+        # at production shapes (T 128/400) it is ~4/T. The model deliberately
+        # counts EXECUTED MXU work (padded tiles run through the systolic
+        # array), the speed-of-light convention BASELINE.md kernel rows use.
+        assert est_quirk == pytest.approx(x_fwd, rel=0.2)
+
 
 class TestTF1Converter:
     def test_reports_unmatched_instead_of_guessing(self):
