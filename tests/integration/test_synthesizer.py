@@ -111,10 +111,18 @@ def test_trim_before_gl(setup):
 
 
 def test_end_frames_detector():
-    from tacotron_tpu.infer.early_exit import end_frames
+    from tacotron_tpu.infer.early_exit import end_frames, end_frames_device
     mel = np.full((2, 20, 4), 0.5, np.float32)
     mel[0, 10:] = 0.0                  # silence from frame 10 onward
     mel[1, 5:8] = 0.0                  # a 3-frame dip, then speech resumes
     ends = end_frames(mel, threshold=0.05, min_run=4)
     assert ends[0] == 10
     assert ends[1] == 20               # dip shorter than min_run: no trigger
+    # device version (used by the Synthesizer so only (B,) ints cross the
+    # host link): identical result, including the short-T degenerate case
+    np.testing.assert_array_equal(
+        np.asarray(end_frames_device(mel, threshold=0.05, min_run=4)), ends)
+    short = mel[:, :3]
+    np.testing.assert_array_equal(
+        np.asarray(end_frames_device(short, threshold=0.05, min_run=4)),
+        end_frames(short, threshold=0.05, min_run=4))
