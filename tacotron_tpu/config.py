@@ -99,13 +99,18 @@ class ModelConfig:
                                       # train step so that is <0.6% end-to-end.
                                       # g1 stays the default: best inference,
                                       # one compiled conv, near-tied training.
-    scan_unroll: int = 1              # lax.scan unroll factor for the hoisted
+    scan_unroll: int = 8              # lax.scan unroll factor for the hoisted
                                       # teacher-forced decoder scan: >1 trades
                                       # compile time + code size for fewer
                                       # loop-bookkeeping/fusion boundaries per
-                                      # decoder step (A/B on hardware; the
-                                      # serial GRU/attention chain itself is
-                                      # irreducible)
+                                      # decoder step. MEASURED r4 (bench.py,
+                                      # pod_dp recipe B256+remat hoisted bf16,
+                                      # v5e, two cells each): unroll 8 =
+                                      # 1.242/1.254M frames/s/chip vs 1 =
+                                      # 1.170/1.218M (+4.5% on means; 2 and 4
+                                      # = 1.180M, worse than either) — 8 is
+                                      # the default; the serial GRU/attention
+                                      # chain itself is irreducible
     remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
                                       # (SURVEY.md §7.3 item 5: trades decoder
                                       # recompute for teacher-forced HBM)
