@@ -111,6 +111,13 @@ class ModelConfig:
                                       # = 1.180M, worse than either) — 8 is
                                       # the default; the serial GRU/attention
                                       # chain itself is irreducible
+    gru_scan_unroll: int = 1          # lax.scan unroll for the CBHG biGRU
+                                      # scans (encoder T_in steps, postnet
+                                      # T_out steps — together 59% of the
+                                      # train step per the r4 breakdown).
+                                      # Default pending the same A/B protocol
+                                      # as scan_unroll; set only from a
+                                      # measured win.
     remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
                                       # (SURVEY.md §7.3 item 5: trades decoder
                                       # recompute for teacher-forced HBM)

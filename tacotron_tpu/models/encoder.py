@@ -43,6 +43,7 @@ class Encoder(nn.Module):
             param_dtype=pdtype,
             bank_groups=cfg.bank_groups,
             dtype=cdtype,
+            gru_unroll=cfg.gru_scan_unroll,
             name="cbhg",
         )(x, lengths=text_lengths)
         return memory  # (B, T_in, 2*gru_dim)

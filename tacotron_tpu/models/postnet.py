@@ -35,6 +35,7 @@ class PostNet(nn.Module):
             param_dtype=pdtype,
             bank_groups=cfg.bank_groups,
             dtype=cfg.cdtype,
+            gru_unroll=cfg.gru_scan_unroll,
             name="cbhg",
         )(mel, lengths=lengths)
         return nn.Dense(cfg.n_freq, name="linear_proj", param_dtype=pdtype,

@@ -29,6 +29,7 @@ class CBHG(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     bank_groups: int = 1              # packed conv-bank width groups
     dtype: jnp.dtype | None = None    # matmul/conv computation dtype
+    gru_unroll: int = 1               # lax.scan unroll for the biGRU
 
     @nn.compact
     def __call__(self, x, lengths=None):
@@ -46,6 +47,7 @@ class CBHG(nn.Module):
         h = HighwayStack(self.highway_layers, self.highway_dim,
                          self.param_dtype, dtype=self.dtype, name="highway")(h)
         return bidirectional_gru(self.gru_dim, self.param_dtype,
-                                 dtype=self.dtype, name="bigru")(
+                                 dtype=self.dtype, unroll=self.gru_unroll,
+                                 name="bigru")(
             h, lengths=lengths
         )

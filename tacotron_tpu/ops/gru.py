@@ -3,7 +3,7 @@
 TPU-native replacement for the reference's ``tf.nn.rnn_cell.GRUCell`` +
 ``bidirectional_dynamic_rnn`` / ``dynamic_rnn`` while_loops (SURVEY.md §2.2
 [R]). Gate semantics match TF1's GRUCell exactly (the parity contract,
-pinned in tests/unit/test_ops.py::TestGRUCell / ::TestScanGRU):
+pinned in tests/unit/test_ops.py::TestGRU / ::TestStackedBiGRU):
 
     r, u = sigmoid(W_g [x, h] + b_g)        # b_g initialised to 1.0
     c    = tanh(W_c [x, r * h] + b_c)
@@ -61,6 +61,7 @@ class _ScanGRU(nn.Module):
     reverse: bool = False
     param_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype | None = None
+    unroll: int = 1                   # lax.scan unroll factor
 
     @nn.compact
     def __call__(self, xs, h0=None, lengths=None):
@@ -114,7 +115,8 @@ class _ScanGRU(nn.Module):
             return h_new, h_new
 
         h0 = h0.astype(f32)
-        h_last, ys = jax.lax.scan(step, h0, (gx.swapaxes(0, 1), cx.swapaxes(0, 1)))
+        h_last, ys = jax.lax.scan(step, h0, (gx.swapaxes(0, 1), cx.swapaxes(0, 1)),
+                                  unroll=self.unroll)
         ys = ys.swapaxes(0, 1)  # (B, T, d)
 
         if self.reverse and lengths is not None:
@@ -153,11 +155,12 @@ class unidirectional_gru(nn.Module):
     features: int
     param_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype | None = None
+    unroll: int = 1
 
     @nn.compact
     def __call__(self, xs, h0=None):
         ys, h = _ScanGRU(self.features, reverse=False, param_dtype=self.param_dtype,
-                         dtype=self.dtype, name="fwd")(xs, h0)
+                         dtype=self.dtype, unroll=self.unroll, name="fwd")(xs, h0)
         return ys, h
 
 
@@ -176,16 +179,17 @@ class bidirectional_gru(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     stacked: bool = True
     dtype: jnp.dtype | None = None
+    unroll: int = 1                   # lax.scan unroll factor (both paths)
 
     @nn.compact
     def __call__(self, xs, lengths=None):
         if not self.stacked:
             fwd, _ = _ScanGRU(self.features, reverse=False,
                               param_dtype=self.param_dtype, dtype=self.dtype,
-                              name="fwd")(xs)
+                              unroll=self.unroll, name="fwd")(xs)
             bwd, _ = _ScanGRU(self.features, reverse=True,
                               param_dtype=self.param_dtype, dtype=self.dtype,
-                              name="bwd")(xs,
+                              unroll=self.unroll, name="bwd")(xs,
                                           lengths=lengths)
             return jnp.concatenate([fwd, bwd], axis=-1)
 
@@ -231,7 +235,7 @@ class bidirectional_gru(nn.Module):
             return h_new, h_new
 
         h0 = jnp.zeros((2 * b, d), xs.dtype)
-        _, ys = jax.lax.scan(step, h0, (gx, cx))
+        _, ys = jax.lax.scan(step, h0, (gx, cx), unroll=self.unroll)
         ys = ys.swapaxes(0, 1)                 # (2B, T, d)
         out_f, out_b = ys[:b], ys[b:]
         if lengths is not None:

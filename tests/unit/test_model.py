@@ -168,3 +168,25 @@ class TestRemat:
         for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
                         jax.tree_util.tree_leaves(outs[1][1])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+class TestGRUScanUnroll:
+    def test_gru_unroll_full_model_bit_identical(self):
+        """model.gru_scan_unroll (encoder + postnet biGRU scans) is a
+        schedule knob: the full teacher-forced forward must be bit-identical
+        at unroll 1 vs 4, on the same params."""
+        import dataclasses
+        text, lengths, mel = _batch()
+        m1 = Tacotron(dataclasses.replace(CFG, gru_scan_unroll=1), train=True)
+        m4 = Tacotron(dataclasses.replace(CFG, gru_scan_unroll=4), train=True)
+        variables = m1.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            text, lengths, gt_mel=mel,
+        )
+        kwargs = dict(rngs={"dropout": jax.random.PRNGKey(2)},
+                      mutable=["batch_stats"])
+        out1, _ = m1.apply(variables, text, lengths, gt_mel=mel, **kwargs)
+        out4, _ = m4.apply(variables, text, lengths, gt_mel=mel, **kwargs)
+        np.testing.assert_array_equal(np.asarray(out1.mel), np.asarray(out4.mel))
+        np.testing.assert_array_equal(np.asarray(out1.linear),
+                                      np.asarray(out4.linear))

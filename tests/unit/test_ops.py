@@ -320,3 +320,18 @@ class TestStackedBiGRU:
         np.testing.assert_allclose(
             np.asarray(y_st, np.float32), np.asarray(y_ref, np.float32),
             rtol=2e-2, atol=1e-2)
+
+    @pytest.mark.parametrize("stacked", [True, False])
+    def test_unroll_is_bit_identical(self, stacked):
+        """lax.scan unroll is a schedule knob, not a math change: unroll=4
+        must match unroll=1 bitwise on both biGRU layouts, including a T not
+        divisible by the unroll factor and tail masking via lengths."""
+        b, t, d_in, d = 3, 13, 5, 6
+        xs = jax.random.normal(jax.random.PRNGKey(0), (b, t, d_in))
+        lengths = jnp.array([13, 7, 4])
+        m1 = bidirectional_gru(d, stacked=stacked, unroll=1)
+        params = m1.init(jax.random.PRNGKey(1), xs, lengths=lengths)
+        y1 = m1.apply(params, xs, lengths=lengths)
+        y4 = bidirectional_gru(d, stacked=stacked, unroll=4).apply(
+            params, xs, lengths=lengths)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y4))
