@@ -72,6 +72,10 @@ def main():
                    metavar="SECTION.KEY=VALUE",
                    help="config override, e.g. --set model.tf_decoder=hoisted")
     args = p.parse_args()
+    if args.device_cache and not args.with_pipeline:
+        p.error("--device-cache only changes the --with-pipeline path; "
+                "without it the run would measure the resident-batch path "
+                "while looking like a device-cache cell")
 
     import jax
 

@@ -49,6 +49,12 @@ def main():
     p.add_argument("--platform", default=None)
     p.add_argument("--set", action="append", default=[], dest="overrides")
     args = p.parse_args()
+    if args.t_out % 4 != 0:
+        p.error("--t-out must be divisible by 4: the shape-differencing "
+                "cells run r=2, r=4 and t_out/2 (all need r-aligned frames)")
+    if any(ov.partition("=")[0] == "model.r" for ov in args.overrides):
+        p.error("--set model.r is unsupported: the cells pin r=2/r=4 "
+                "themselves and the FLOP model must match the timed shapes")
 
     import jax
 
@@ -90,7 +96,10 @@ def main():
         )
         with mesh:
             batch = shard_batch(batch, mesh, cfg.mesh)
-            for _ in range(args.warmup):
+            # >=1 warmup step always: the first call compiles, and the timing
+            # below assumes a warm cache (with --warmup 0 `metrics` would
+            # also be unbound here)
+            for _ in range(max(1, args.warmup)):
                 state, metrics, _ = step_fn(state, *batch)
             force(metrics["total_loss"])
             t0 = time.time()

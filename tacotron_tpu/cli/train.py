@@ -144,6 +144,14 @@ def main(argv=None):
         with open(os.path.join(args.run_dir, "config.json"), "w") as f:
             f.write(cfg.to_json())
 
+    if args.device_cache and jax.process_count() > 1:
+        # Multi-host shard_batch round-trips jax arrays through the host
+        # (np.asarray + make_array_from_process_local_data), which would
+        # invert the device-cache optimization into a per-step
+        # device->host->device copy — refuse instead of silently pessimizing.
+        raise SystemExit("--device-cache is single-host only: multi-host "
+                         "shard_batch would copy each on-device batch back "
+                         "through the host every step")
     loader = DataLoader(
         ds, batch_size=cfg.train.batch_size // jax.process_count(),
         num_buckets=args.num_buckets or cfg.data.num_buckets, r=cfg.model.r,

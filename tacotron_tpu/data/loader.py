@@ -81,15 +81,19 @@ class DeviceCache:
     casts to f32 on first use — bit-identical to the f16 wire path).
     """
 
-    def __init__(self, dataset: Dataset):
+    def __init__(self, dataset: Dataset, feature_dtype=np.float16):
         import jax
         import jax.numpy as jnp
 
         self._jnp = jnp
-        # one-time uploads (mmap -> host materialize -> device)
+        # one-time uploads (mmap -> host materialize -> device). Features are
+        # uploaded in the on-disk layout, then cast ONCE on device to the
+        # loader's wire dtype so every loader mode serves identical batch
+        # dtypes (the host/native assemblers cast per batch).
+        fdt = jnp.dtype(np.dtype(feature_dtype))
         self.texts = jnp.asarray(np.asarray(dataset.texts))
-        self.mels = jnp.asarray(np.asarray(dataset.mels))
-        self.linears = jnp.asarray(np.asarray(dataset.linears))
+        self.mels = jnp.asarray(np.asarray(dataset.mels)).astype(fdt)
+        self.linears = jnp.asarray(np.asarray(dataset.linears)).astype(fdt)
         idx = dataset.index
         self.t_off = np.asarray([e["text_offset"] for e in idx], np.int32)
         self.t_len = np.asarray([e["text_len"] for e in idx], np.int32)
@@ -141,7 +145,8 @@ class DataLoader:
         # Device-resident mode: batches are assembled ON DEVICE by a jitted
         # gather from once-uploaded packed arrays; Batch fields are jax
         # arrays. The native/numpy host assemblers are bypassed.
-        self.cache = DeviceCache(dataset) if device_cache else None
+        self.cache = (DeviceCache(dataset, self.feature_dtype)
+                      if device_cache else None)
         # Native C++ batch assembler (tacotron_tpu/native): threads do the
         # f16->f32 + pad + gather; numpy fallback when the toolchain is absent.
         self.native = None

@@ -191,16 +191,22 @@ class TestLoader:
         dls = [DataLoader(ds, batch_size=2, num_buckets=3, r=5, seed=7,
                           process_index=p, process_count=P) for p in range(P)]
         assert len(dls[0].buckets) > 1
-        filled = 0
         for dl in dls:
+            rows = {}
             for b in dl.epoch(shuffle=True):
+                rows[b.bucket] = rows.get(b.bucket, 0) + len(b.items)
                 for i in b.items:
                     owner = next(bk for bk, idx in dl.assignments.items()
                                  if i in set(idx.tolist()))
-                    if owner != b.bucket:
-                        filled += 1
                     assert owner == b.bucket, (
                         f"item {i} of bucket {owner} filled into {b.bucket}")
+            # the scenario must actually exercise the fill path: each host
+            # yields the GLOBAL per-bucket step count x batch_size rows, so
+            # rows > its positional-shard size means wrap-fill drew extras
+            shard = {bk: len(range(dl.process_index, len(idx), P))
+                     for bk, idx in dl.assignments.items()}
+            overdraw = sum(rows[bk] - shard[bk] for bk in rows)
+            assert overdraw > 0, "no shard ran dry — fill path untested"
 
     def test_device_cache_matches_host_path(self, data_dir):
         """Device-resident assembly (jitted gather from once-uploaded packed
@@ -222,6 +228,22 @@ class TestLoader:
             np.testing.assert_array_equal(np.asarray(v.mel), h.mel)
             np.testing.assert_array_equal(np.asarray(v.linear), h.linear)
             np.testing.assert_array_equal(np.asarray(v.frame_len), h.frame_len)
+
+    def test_device_cache_honors_feature_dtype(self, data_dir):
+        """feature_dtype='float32' must change the served dtype in device-
+        cache mode just like in the host path (the cache casts the uploaded
+        arrays once instead of per batch)."""
+        ds = Dataset(data_dir)
+        host = DataLoader(ds, batch_size=4, num_buckets=2, r=5, seed=3,
+                          use_native=False, feature_dtype="float32")
+        dev = DataLoader(ds, batch_size=4, num_buckets=2, r=5, seed=3,
+                         feature_dtype="float32", device_cache=True)
+        h = next(iter(host.epoch(shuffle=True)))
+        v = next(iter(dev.epoch(shuffle=True)))
+        assert h.mel.dtype == np.float32
+        assert v.mel.dtype == np.float32 and v.linear.dtype == np.float32
+        np.testing.assert_array_equal(np.asarray(v.mel), h.mel)
+        np.testing.assert_array_equal(np.asarray(v.linear), h.linear)
 
 
 class TestResample:
