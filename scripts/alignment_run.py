@@ -81,6 +81,11 @@ def main():
     p.add_argument("--preset", default="tiny_cpu",
                    help="model preset; 'full_1chip' = the flagship 256-d r=2 "
                         "architecture (fast on TPU, hours on CPU)")
+    p.add_argument("--set", action="append", default=[], dest="overrides",
+                   metavar="SECTION.KEY=VALUE",
+                   help="config override, repeatable — e.g. --set model.r=5 "
+                        "(the r5 renderable-regime evidence run, VERDICT r4 "
+                        "next #1)")
     p.add_argument("--out", default="artifacts/alignment")
     p.add_argument("--save-run", default=None,
                    help="also write a synthesize-compatible run dir "
@@ -128,7 +133,9 @@ def main():
                         os.path.join(root, "data"), acfg, chunk=8)
     ds = Dataset(os.path.join(root, "data"))
 
-    cfg = get_config(args.preset)
+    from tacotron_tpu.config import apply_overrides
+
+    cfg = apply_overrides(get_config(args.preset), args.overrides)
     cfg = dataclasses.replace(
         cfg, audio=acfg,
         model=dataclasses.replace(cfg.model,

@@ -248,8 +248,10 @@ class Config:
         checkpoint loader is strict about shapes/treedef; this matches it.
         """
         raw = json.loads(s)
-        known_sections = {"audio", "model", "train", "mesh", "data", "infer",
-                          "name"}
+        # derived, not hardcoded (ADVICE r4): a section added to Config later
+        # is automatically known, so freshly-written run-dir configs can't
+        # fail the strict parse with a misleading "renamed?" error
+        known_sections = {f.name for f in dataclasses.fields(Config)}
         alien_sections = set(raw) - known_sections
         if alien_sections:
             raise ValueError(
@@ -272,15 +274,20 @@ class Config:
                 kw[k] = v
             return cls(**kw)
 
-        return Config(
-            audio=_mk(AudioConfig, raw.get("audio", {}), "audio"),
-            model=_mk(ModelConfig, raw.get("model", {}), "model"),
-            train=_mk(TrainConfig, raw.get("train", {}), "train"),
-            mesh=_mk(MeshConfig, raw.get("mesh", {}), "mesh"),
-            data=_mk(DataConfig, raw.get("data", {}), "data"),
-            infer=_mk(InferConfig, raw.get("infer", {}), "infer"),
-            name=raw.get("name", "default"),
-        )
+        # generic over Config's fields: a new section participates in both
+        # the strict check above and the construction here with no edit
+        import typing
+
+        hints = typing.get_type_hints(Config)  # resolves the PEP-563 strings
+        kw = {}
+        for f in dataclasses.fields(Config):
+            t = hints[f.name]
+            section_cls = t if dataclasses.is_dataclass(t) else None
+            if section_cls is not None:
+                kw[f.name] = _mk(section_cls, raw.get(f.name, {}), f.name)
+            elif f.name in raw:
+                kw[f.name] = raw[f.name]
+        return Config(**kw)
 
 
 def apply_overrides(cfg: Config, overrides: list[str]) -> Config:

@@ -91,6 +91,22 @@ class DeviceCache:
         # loader's wire dtype so every loader mode serves identical batch
         # dtypes (the host/native assemblers cast per batch).
         fdt = jnp.dtype(np.dtype(feature_dtype))
+        # size-vs-HBM sanity check (ADVICE r4): an oversized corpus should
+        # fail HERE with a clear message, not deep in jnp.asarray with an
+        # opaque allocator error. memory_stats() is optional per backend.
+        need = (np.asarray(dataset.texts).nbytes
+                + (dataset.mels.shape[0] * dataset.mels.shape[1]
+                   + dataset.linears.shape[0] * dataset.linears.shape[1])
+                * fdt.itemsize)
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit")
+        if limit and need > 0.9 * limit:
+            raise ValueError(
+                f"DeviceCache: packed corpus needs ~{need / 2**30:.2f} GiB "
+                f"on device but the chip reports {limit / 2**30:.2f} GiB "
+                f"HBM — the whole-corpus upload would not leave room for "
+                f"activations. Use the streaming loader (device_cache=False) "
+                f"for this corpus.")
         self.texts = jnp.asarray(np.asarray(dataset.texts))
         self.mels = jnp.asarray(np.asarray(dataset.mels)).astype(fdt)
         self.linears = jnp.asarray(np.asarray(dataset.linears)).astype(fdt)

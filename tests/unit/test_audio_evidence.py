@@ -34,21 +34,33 @@ import pytest
 from tacotron_tpu.data.ljspeech import (char_accuracy, decode_char_tones,
                                         load_wav)
 
-ART = os.path.join(os.path.dirname(__file__), "..", "..",
-                   "artifacts", "audio_evidence")
+ARTROOT = os.path.join(os.path.dirname(__file__), "..", "..", "artifacts")
 
-ACC_GATE = 0.8
+# Every committed audio-evidence artifact is covered (VERDICT r4 next #5 —
+# the held-out dir had no rot gate). Gates are per-artifact: the two
+# alignment-pressure-corpus artifacts carry ROT gates just under their
+# measured values (rationale in the module docstring); the r5
+# renderable-regime artifacts carry the genuine QUALITY bar VERDICT r4
+# next #1 prescribes (held-out mean >= 0.7), set before measurement.
+ARTIFACT_GATES = [
+    ("audio_evidence", 0.8),
+    ("audio_evidence_heldout", 0.4),
+    ("audio_evidence_r5", 0.7),
+    ("audio_evidence_r5_heldout", 0.7),
+]
 
 
-@pytest.mark.skipif(
-    not os.path.exists(os.path.join(ART, "summary.json")),
-    reason="audio evidence artifact not yet committed")
-def test_committed_audio_decodes_back_to_its_prompts():
-    with open(os.path.join(ART, "summary.json")) as f:
+@pytest.mark.parametrize("dirname,gate", ARTIFACT_GATES,
+                         ids=[d for d, _ in ARTIFACT_GATES])
+def test_committed_audio_decodes_back_to_its_prompts(dirname, gate):
+    art = os.path.join(ARTROOT, dirname)
+    if not os.path.exists(os.path.join(art, "summary.json")):
+        pytest.skip(f"{dirname} artifact not yet committed")
+    with open(os.path.join(art, "summary.json")) as f:
         s = json.load(f)
     accs = []
     for row in s["per_prompt"]:
-        wav = load_wav(os.path.join(ART, row["wav"]))
+        wav = load_wav(os.path.join(art, row["wav"]))
         # prompt-length prefix: no stop token, so the fixed decode budget
         # free-runs past the content (same protocol as the generator script)
         hyp = decode_char_tones(wav, s["sample_rate"],
@@ -58,8 +70,8 @@ def test_committed_audio_decodes_back_to_its_prompts():
         # decode is deterministic on the committed wav: must match the
         # recorded value (same coherence contract as the alignment artifact)
         np.testing.assert_allclose(acc, row["char_accuracy"], atol=1e-4)
-    assert float(np.mean(accs)) >= ACC_GATE, accs
-    assert s["char_accuracy_mean"] >= ACC_GATE
+    assert float(np.mean(accs)) >= gate, accs
+    assert s["char_accuracy_mean"] >= gate
 
 
 def test_char_tone_decoder_roundtrip_on_ground_truth():

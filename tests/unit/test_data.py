@@ -245,6 +245,26 @@ class TestLoader:
         np.testing.assert_array_equal(np.asarray(v.mel), h.mel)
         np.testing.assert_array_equal(np.asarray(v.linear), h.linear)
 
+    def test_device_cache_refuses_oversized_corpus(self, data_dir,
+                                                   monkeypatch):
+        """A corpus that would not fit HBM must fail in DeviceCache.__init__
+        with a clear message, not deep inside jnp.asarray with an opaque
+        allocator error (ADVICE r4). Simulated by shrinking the reported
+        device memory below the (tiny) test corpus."""
+        import jax
+
+        from tacotron_tpu.data.loader import DeviceCache
+
+        ds = Dataset(data_dir)
+
+        class FakeDev:
+            def memory_stats(self):
+                return {"bytes_limit": 1024}   # 1 KiB "HBM"
+
+        monkeypatch.setattr(jax, "devices", lambda *a, **k: [FakeDev()])
+        with pytest.raises(ValueError, match="HBM"):
+            DeviceCache(ds)
+
 
 class TestResample:
     def test_load_wav_resamples_to_expected_rate(self, tmp_path):
