@@ -43,9 +43,11 @@ run_cell() {  # name, extra bench args... — retries until the cell measures
 
 echo "$(date -u +%H:%M:%S) watchdog start" >> "$OUT/log"
 # interleaved A/B/A/B so tunnel drift affects both arms equally
-run_cell u1_a
-run_cell u8_a --set model.gru_scan_unroll=8
-run_cell u1_b
-run_cell u8_b --set model.gru_scan_unroll=8
-run_cell u4_a --set model.gru_scan_unroll=4
+# (--metric train: since r5 the plain invocation measures both graded
+# metrics; the A/B targets the train number only)
+run_cell u1_a --metric train
+run_cell u8_a --metric train --set model.gru_scan_unroll=8
+run_cell u1_b --metric train
+run_cell u8_b --metric train --set model.gru_scan_unroll=8
+run_cell u4_a --metric train --set model.gru_scan_unroll=4
 echo "$(date -u +%H:%M:%S) all cells done" >> "$OUT/log"
