@@ -33,10 +33,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def aggregate_perfetto(path: str, n_steps: int) -> dict:
     """Aggregate a Perfetto trace.json(.gz) into a per-op device-time table.
 
-    Perfetto JSON: {"traceEvents": [{"ph": "X", "name", "ts", "dur",
-    "pid", "tid", ...}, ...]} plus metadata events naming the pid/tid
-    tracks. Device op events live on tracks whose process name contains
-    "TPU"/"device" (XLA emits one track per core + queue)."""
+    XLA's TPU profiler emits, per device, separate tracks named "Steps"
+    (one span per executed step), "XLA Modules" (one span per module
+    execution), and "XLA Ops" (the leaf HLO ops — non-overlapping device
+    time, each with args: hlo_category, model_flops, bytes_accessed).
+    Only the leaf track is summed for busy time (summing all tracks would
+    triple-count: module span == sum of its ops). MXU share is computed
+    from hlo_category + model_flops, not name substrings — TPU fusions are
+    named "fusion.N" and carry their dot/conv nature only in the args."""
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
         trace = json.load(f)
@@ -50,55 +54,108 @@ def aggregate_perfetto(path: str, n_steps: int) -> dict:
         if e.get("ph") == "M" and e.get("name") == "thread_name":
             tnames[(e["pid"], e.get("tid"))] = e.get("args", {}).get("name", "")
 
-    def is_device(pid, tid):
-        pn = (pnames.get(pid, "") or "").lower()
-        tn = (tnames.get((pid, tid), "") or "").lower()
-        return ("tpu" in pn or "device" in pn or "/device" in tn
-                or "xla" in tn or "tensorflow op" in tn or "steps" in tn)
+    def track(e):
+        pn = (pnames.get(e.get("pid"), "") or "").lower()
+        if "device" not in pn and "tpu" not in pn:
+            return None
+        return tnames.get((e.get("pid"), e.get("tid")), "")
 
-    per_op = defaultdict(lambda: [0.0, 0])     # name -> [total_us, count]
-    device_busy_us = 0.0
-    span_lo, span_hi = float("inf"), 0.0
+    # "while" spans CONTAIN their body ops (which also appear as leaf
+    # events), so they are excluded from the sums and reported once as
+    # control-flow wrapper time; busy time is the interval UNION of leaf
+    # spans (async copies overlap compute — summing would double-count).
+    CONTAINERS = ("while", "conditional", "call")
+    per_op = defaultdict(lambda: [0.0, 0, 0.0, 0.0, ""])
+    per_cat = defaultdict(lambda: [0.0, 0, 0.0])   # cat -> [us, count, flops]
+    flops = mxu_us = bytes_acc = container_us = 0.0
+    step_spans, module_spans, leaf_iv = [], [], []
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
-        if not is_device(e.get("pid"), e.get("tid")):
+        tr = track(e)
+        if tr == "Steps":
+            step_spans.append(e["dur"])
             continue
-        name = e["name"]
-        per_op[name][0] += e["dur"]
-        per_op[name][1] += 1
-        device_busy_us += e["dur"]
-        span_lo = min(span_lo, e["ts"])
-        span_hi = max(span_hi, e["ts"] + e["dur"])
+        if tr == "XLA Modules":
+            module_spans.append(e["dur"])
+            continue
+        if tr != "XLA Ops":
+            continue
+        args = e.get("args", {})
+        cat = args.get("hlo_category", "?")
+        if cat in CONTAINERS:
+            container_us += e["dur"]
+            continue
+        f = float(args.get("model_flops", 0) or 0)
+        b = float(args.get("raw_bytes_accessed",
+                           args.get("bytes_accessed", 0)) or 0)
+        rec = per_op[e["name"]]
+        rec[0] += e["dur"]
+        rec[1] += 1
+        rec[2] += f
+        rec[3] += b
+        rec[4] = cat
+        c = per_cat[cat]
+        c[0] += e["dur"]
+        c[1] += 1
+        c[2] += f
+        leaf_iv.append((e["ts"], e["ts"] + e["dur"]))
+        flops += f
+        bytes_acc += b
+        if f > 0:       # op does MXU work (dot/conv or a fusion rooted in one)
+            mxu_us += e["dur"]
 
-    rows = sorted(((tot, cnt, name) for name, (tot, cnt) in per_op.items()),
-                  reverse=True)
-    # MXU share: convolution/dot ops (XLA emits fusion names containing the
-    # root op; dot/conv fusions carry these substrings)
-    mxu_us = sum(tot for tot, _, name in rows
-                 if any(k in name.lower() for k in ("dot", "conv", "fusion.dot")))
-    span_us = max(span_hi - span_lo, 1e-9)
+    # interval union of leaf spans
+    leaf_iv.sort()
+    busy_us, cur_lo, cur_hi = 0.0, None, None
+    for lo, hi in leaf_iv:
+        if cur_hi is None or lo > cur_hi:
+            if cur_hi is not None:
+                busy_us += cur_hi - cur_lo
+            cur_lo, cur_hi = lo, hi
+        else:
+            cur_hi = max(cur_hi, hi)
+    if cur_hi is not None:
+        busy_us += cur_hi - cur_lo
+
+    # the trailing force-sum jit shows up as a tiny extra module/step span:
+    # keep only spans within 2x..0.5x of the median step
+    if step_spans:
+        med = sorted(step_spans)[len(step_spans) // 2]
+        step_spans = [s for s in step_spans if 0.5 * med <= s <= 2 * med]
+    n_spans = max(len(step_spans), 1)
+    span_us = sum(step_spans) if step_spans else sum(module_spans)
+    span_us = max(span_us, 1e-9)
+    sum_leaf_us = sum(v[0] for v in per_op.values())
+    rows = sorted(((v[0], k) for k, v in per_op.items()), reverse=True)
     return {
-        "n_steps_traced": n_steps,
-        "device_span_ms": round(span_us / 1e3, 2),
-        "device_busy_ms": round(device_busy_us / 1e3, 2),
-        "device_busy_frac_of_span": round(device_busy_us / span_us, 3),
-        "mxu_named_op_ms": round(mxu_us / 1e3, 2),
-        "mxu_named_op_frac_of_busy": round(mxu_us / max(device_busy_us, 1e-9), 3),
+        "n_steps_traced": len(step_spans) or n_steps,
+        "step_ms_mean": round(span_us / n_spans / 1e3, 3),
+        "device_busy_ms_per_step": round(busy_us / n_spans / 1e3, 3),
+        "device_busy_frac_of_step": round(busy_us / span_us, 4),
+        "container_while_ms_per_step": round(container_us / n_spans / 1e3, 3),
+        "flops_per_step_G": round(flops / n_spans / 1e9, 2),
+        "achieved_tflops_busy": round(flops / 1e12 / (busy_us / 1e6), 2),
+        "achieved_tflops_wall": round(flops / 1e12 / (span_us / 1e6), 2),
+        "op_bytes_per_step_MB": round(bytes_acc / n_spans / 1e6, 1),
+        "mxu_op_ms_per_step": round(mxu_us / n_spans / 1e3, 3),
+        "mxu_op_frac_of_leaf_time": round(mxu_us / max(sum_leaf_us, 1e-9), 4),
+        "by_category": sorted(
+            ({"category": k, "ms_per_step": round(v[0] / n_spans / 1e3, 3),
+              "count_per_step": round(v[1] / n_spans, 1),
+              "frac_of_leaf_time": round(v[0] / max(sum_leaf_us, 1e-9), 4),
+              "gflops_per_step": round(v[2] / n_spans / 1e9, 2)}
+             for k, v in per_cat.items()),
+            key=lambda r: -r["ms_per_step"]),
         "top_ops": [
-            {"name": name[:160], "total_ms": round(tot / 1e3, 3),
-             "count": cnt,
-             "frac_of_busy": round(tot / max(device_busy_us, 1e-9), 4)}
-            for tot, cnt, name in rows[:25]
+            {"name": name[:120], "category": per_op[name][4],
+             "ms_per_step": round(tot / n_spans / 1e3, 3),
+             "count_per_step": round(per_op[name][1] / n_spans, 1),
+             "frac_of_leaf_time": round(tot / max(sum_leaf_us, 1e-9), 4),
+             "gflops_per_step": round(per_op[name][2] / n_spans / 1e9, 2),
+             "MB_per_step": round(per_op[name][3] / n_spans / 1e6, 2)}
+            for tot, name in rows[:25]
         ],
-        "n_device_tracks": len({(e.get("pid"), e.get("tid"))
-                                for e in events
-                                if e.get("ph") == "X"
-                                and is_device(e.get("pid"), e.get("tid"))}),
-        "track_names": sorted({f"{pnames.get(p, '')}/{tnames.get((p, t), '')}"
-                               for (p, t) in {(e.get("pid"), e.get("tid"))
-                                              for e in events
-                                              if e.get("ph") == "X"}})[:20],
     }
 
 
