@@ -136,6 +136,15 @@ class ModelConfig:
     # over-time MXU matmuls, shortening the 200-step critical path
     # (BASELINE.md round-2 candidate; SURVEY.md §7.3 item 2).
     tf_decoder: str = "scan"
+    # Bahdanau energy computation in the TRAINING decoder. "xla" = the
+    # reference formula (materialises the (B, T_in, attention_dim) tanh
+    # tensor each decoder step); "fused" = the Pallas attn_energy kernel
+    # (ops/pallas/attn_energy.py) that keeps that tensor in VMEM — on
+    # non-TPU backends "fused" falls back to the XLA formula so CPU tests
+    # and the multichip CPU dryrun are unaffected. Motivated by the r5
+    # device trace (BASELINE.md MFU row): decoder-scan loop fusions move
+    # 40 GB/step at saturated bandwidth.
+    attention_energy: str = "xla"
 
     @property
     def memory_dim(self) -> int:

@@ -27,6 +27,7 @@ from flax import linen as nn
 
 from tacotron_tpu.config import ModelConfig
 from tacotron_tpu.ops.attention import NEG_INF, BahdanauAttention
+from tacotron_tpu.ops.pallas.attn_energy import attention_energy
 from tacotron_tpu.ops.gru import GRUCell
 from tacotron_tpu.ops.modules import Prenet
 
@@ -62,7 +63,8 @@ class DecoderCell(nn.Module):
         )
         # keys were precomputed outside the scan (memory_proj in Tacotron).
         context, alignment = BahdanauAttention(
-            cfg.attention_dim, pdtype, dtype=cdtype, name="attention"
+            cfg.attention_dim, pdtype, dtype=cdtype,
+            energy=cfg.attention_energy, name="attention"
         )(h_att, keys, memory, mask)
 
         # [attention RNN output, context] -> 256 (reference:
@@ -144,6 +146,7 @@ def _hoisted_teacher_forced(p, cfg: ModelConfig, frames_in, keys, memory,
 
     wq = p["attention"]["query"]["kernel"].astype(cd)
     v = p["attention"]["v"].astype(f32)                 # scores stay f32
+    fused_energy = cfg.attention_energy == "fused"
     wp = p["decoder_input_proj"]["kernel"].astype(cd)
     bp = p["decoder_input_proj"]["bias"].astype(cd)
     wf = p["frame_proj"]["kernel"].astype(cd)
@@ -179,7 +182,11 @@ def _hoisted_teacher_forced(p, cfg: ModelConfig, frames_in, keys, memory,
         h_att = u * h_att + (1.0 - u) * cand
         # Bahdanau step (ops/attention.py semantics)
         q = h_att.astype(cd) @ wq
-        scores = jnp.squeeze(jnp.tanh(keys_c + q[:, None, :]).astype(f32) @ v, -1)
+        if fused_energy:
+            scores = attention_energy(keys_c, q, v)
+        else:
+            scores = jnp.squeeze(
+                jnp.tanh(keys_c + q[:, None, :]).astype(f32) @ v, -1)
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
         align = jax.nn.softmax(scores, axis=-1)

@@ -26,6 +26,8 @@ class BahdanauAttention(nn.Module):
     dim: int = 256
     param_dtype: jnp.dtype = jnp.float32
     dtype: jnp.dtype | None = None    # projection dtype; scores/softmax f32
+    energy: str = "xla"               # "xla" | "fused" (Pallas attn_energy
+                                      # kernel on TPU; falls back off-TPU)
 
     def setup(self):
         self.query_proj = nn.Dense(self.dim, use_bias=False, name="query",
@@ -54,9 +56,15 @@ class BahdanauAttention(nn.Module):
         memory: (B, T_in, D_mem); mask: (B, T_in) bool, True = valid.
         Returns (context (B, D_mem), alignment (B, T_in)).
         """
-        q = self.query_proj(query)[:, None, :]            # (B, 1, dim)
-        scores = jnp.squeeze(
-            jnp.tanh(keys + q).astype(jnp.float32) @ self.v, -1)  # (B, T_in)
+        q = self.query_proj(query)                        # (B, dim)
+        if self.energy == "fused":
+            from tacotron_tpu.ops.pallas.attn_energy import attention_energy
+
+            scores = attention_energy(keys, q, self.v)    # (B, T_in) f32
+        else:
+            scores = jnp.squeeze(
+                jnp.tanh(keys + q[:, None, :]).astype(jnp.float32) @ self.v,
+                -1)
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
         alignment = jax.nn.softmax(scores, axis=-1)
