@@ -55,16 +55,21 @@ def _pick_block(b: int, cap: int = 32) -> int:
     return 1
 
 
+# v arrives as (1, A) — lane-major — so its broadcast against the (bb, T, A)
+# tile is register-cheap; the (A, 1) param layout would need a sublane->lane
+# relayout inside the kernel.
+
+
 def _fwd_kernel(keys_ref, q_ref, v_ref, e_ref):
     t = jnp.tanh(keys_ref[...] + q_ref[...][:, None, :])   # compute dtype
-    vf = v_ref[...][:, 0][None, None, :]                   # (1, 1, A) f32
+    vf = v_ref[...][None, :, :]                            # (1, 1, A) f32
     e_ref[...] = jnp.sum(t.astype(jnp.float32) * vf, axis=-1)
 
 
 def _bwd_kernel(keys_ref, q_ref, v_ref, de_ref, dkeys_ref, dq_ref, dv_ref):
     t = jnp.tanh(keys_ref[...] + q_ref[...][:, None, :]).astype(jnp.float32)
     de = de_ref[...][:, :, None]                           # (bb, T, 1) f32
-    vf = v_ref[...][:, 0][None, None, :]                   # (1, 1, A) f32
+    vf = v_ref[...][None, :, :]                            # (1, 1, A) f32
     w = de * vf * (1.0 - t * t)                            # (bb, T, A) f32
     dkeys_ref[...] = w.astype(dkeys_ref.dtype)
     dq_ref[...] = jnp.sum(w, axis=1).astype(dq_ref.dtype)
@@ -73,7 +78,7 @@ def _bwd_kernel(keys_ref, q_ref, v_ref, de_ref, dkeys_ref, dq_ref, dv_ref):
     def _init():
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    dv_ref[...] += jnp.sum(t * de, axis=(0, 1))[:, None]   # (A, 1) f32
+    dv_ref[...] += jnp.sum(t * de, axis=(0, 1))[None, :]   # (1, A) f32
 
 
 @lru_cache(maxsize=None)
@@ -85,7 +90,7 @@ def _make_fused(block_cap: int, interpret: bool):
     def _fwd(keys, q, v):
         b, t_in, a = keys.shape
         bb = _pick_block(b, block_cap)
-        vf = v.astype(jnp.float32)
+        vf = v.astype(jnp.float32).reshape(1, a)
         return pl.pallas_call(
             _fwd_kernel,
             grid=(b // bb,),
@@ -94,7 +99,7 @@ def _make_fused(block_cap: int, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bb, a), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, 1), lambda i: (0, 0),
+                pl.BlockSpec((1, a), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((bb, t_in), lambda i: (i, 0),
@@ -110,7 +115,7 @@ def _make_fused(block_cap: int, interpret: bool):
         keys, q, v = res
         b, t_in, a = keys.shape
         bb = _pick_block(b, block_cap)
-        vf = v.astype(jnp.float32)
+        vf = v.astype(jnp.float32).reshape(1, a)
         dkeys, dq, dv = pl.pallas_call(
             _bwd_kernel,
             grid=(b // bb,),
@@ -119,7 +124,7 @@ def _make_fused(block_cap: int, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bb, a), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, 1), lambda i: (0, 0),
+                pl.BlockSpec((1, a), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bb, t_in), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -129,13 +134,13 @@ def _make_fused(block_cap: int, interpret: bool):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bb, a), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((a, 1), lambda i: (0, 0),
+                pl.BlockSpec((1, a), lambda i: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct(keys.shape, keys.dtype),
                 jax.ShapeDtypeStruct(q.shape, q.dtype),
-                jax.ShapeDtypeStruct((a, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, a), jnp.float32),
             ],
             # dv accumulates across grid steps -> the batch grid axis must
             # stay sequential, not be parallelised
@@ -143,7 +148,7 @@ def _make_fused(block_cap: int, interpret: bool):
                 dimension_semantics=("arbitrary",)),
             interpret=interpret,
         )(keys, q, vf, de.astype(jnp.float32))
-        return dkeys, dq, dv.astype(v.dtype)
+        return dkeys, dq, dv.reshape(v.shape).astype(v.dtype)
 
     energy.defvjp(energy_fwd, energy_bwd)
     return energy
