@@ -38,8 +38,14 @@ class CBHG(nn.Module):
         h = ConvBank(self.k, self.bank_channels, self.train,
                      self.param_dtype, groups=self.bank_groups,
                      dtype=self.dtype, name="bank")(x)
-        # max pool width 2, stride 1, SAME
-        h = nn.max_pool(h, window_shape=(2,), strides=(1,), padding="SAME")
+        # Max pool width 2, stride 1, SAME — written as an elementwise max
+        # of h and its left-shifted self (last step maxes with itself, the
+        # identity for SAME's single right pad). Forward is bit-identical to
+        # nn.max_pool (tests/unit/test_ops.py), but the backward lowers to
+        # fused where-selects instead of XLA's select-and-scatter, which the
+        # r5 device trace prices at 3.1 ms/step of the pod_dp recipe
+        # (artifacts/trace/op_table.json).
+        h = jnp.maximum(h, jnp.concatenate([h[:, 1:], h[:, -1:]], axis=1))
         h = Conv1dProjection(tuple(self.proj_dims), self.train,
                              param_dtype=self.param_dtype, dtype=self.dtype,
                              name="proj")(h)
