@@ -111,13 +111,24 @@ class ModelConfig:
                                       # = 1.180M, worse than either) — 8 is
                                       # the default; the serial GRU/attention
                                       # chain itself is irreducible
-    gru_scan_unroll: int = 1          # lax.scan unroll for the CBHG biGRU
+    gru_scan_unroll: int = 4          # lax.scan unroll for the CBHG biGRU
                                       # scans (encoder T_in steps, postnet
-                                      # T_out steps — together 59% of the
-                                      # train step per the r4 breakdown).
-                                      # Default pending the same A/B protocol
-                                      # as scan_unroll; set only from a
-                                      # measured win.
+                                      # T_out steps). MEASURED r5 (bench.py
+                                      # --metric train, pod_dp recipe
+                                      # B256+remat hoisted bf16, v5e,
+                                      # interleaved cells same day, 0.03%
+                                      # same-arm spread): unroll 4 = 1.3267M
+                                      # frames/s/chip (+3.5%) > 8 =
+                                      # 1.2926/1.2928M (+0.83%) > 1 =
+                                      # 1.2822/1.2818M > 16 (measured only in
+                                      # the rejected-pooling tree: 1.1857M,
+                                      # below that tree's unroll-1 1.2029M).
+                                      # Unlike the decoder scan (where 8 won
+                                      # and 4 lost), the 400-step biGRU scans
+                                      # peak at unroll 4; ordering 4 > 1 re-
+                                      # confirmed under that tree as
+                                      # 1.2420/1.2413M vs 1.2029M (+3.2%).
+                                      # BASELINE.md r5 bullet.
     remat_decoder: bool = False       # jax.checkpoint on the decoder scan body
                                       # (SURVEY.md §7.3 item 5: trades decoder
                                       # recompute for teacher-forced HBM)

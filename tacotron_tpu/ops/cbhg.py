@@ -38,14 +38,15 @@ class CBHG(nn.Module):
         h = ConvBank(self.k, self.bank_channels, self.train,
                      self.param_dtype, groups=self.bank_groups,
                      dtype=self.dtype, name="bank")(x)
-        # Max pool width 2, stride 1, SAME — written as an elementwise max
-        # of h and its left-shifted self (last step maxes with itself, the
-        # identity for SAME's single right pad). Forward is bit-identical to
-        # nn.max_pool (tests/unit/test_ops.py), but the backward lowers to
-        # fused where-selects instead of XLA's select-and-scatter, which the
-        # r5 device trace prices at 3.1 ms/step of the pod_dp recipe
-        # (artifacts/trace/op_table.json).
-        h = jnp.maximum(h, jnp.concatenate([h[:, 1:], h[:, -1:]], axis=1))
+        # Max pool width 2, stride 1, SAME. Keep nn.max_pool (reduce_window +
+        # select-and-scatter backward): the r5 device trace prices the
+        # select-and-scatter at 3.1 ms/step, but the "cheaper" rewrite as
+        # max(h, shift_left(h)) MEASURED 6% SLOWER end-to-end (1.242M vs
+        # 1.327M frames/s/chip at pod_dp+gru_scan_unroll=4; 1.203M vs 1.282M
+        # at unroll 1, interleaved same-day cells) — the shifted-concat
+        # copies of the (B, T, K*128) bank tensor and the unfused
+        # where-select backward cost more than select-and-scatter saved.
+        h = nn.max_pool(h, window_shape=(2,), strides=(1,), padding="SAME")
         h = Conv1dProjection(tuple(self.proj_dims), self.train,
                              param_dtype=self.param_dtype, dtype=self.dtype,
                              name="proj")(h)

@@ -191,21 +191,6 @@ class TestAttention:
 
 
 class TestCBHG:
-    def test_shifted_max_equals_max_pool(self):
-        """The CBHG pooling rewrite (backward as where-selects instead of
-        select-and-scatter) must stay FORWARD-bit-identical to the
-        nn.max_pool(window 2, stride 1, SAME) it replaced — incl. odd T and
-        the self-max at the final step."""
-        import flax.linen as nn
-
-        for t, seed in ((13, 0), (16, 1), (1, 2)):
-            h = jax.random.normal(jax.random.PRNGKey(seed), (3, t, 32))
-            want = nn.max_pool(h, window_shape=(2,), strides=(1,),
-                               padding="SAME")
-            got = jnp.maximum(
-                h, jnp.concatenate([h[:, 1:], h[:, -1:]], axis=1))
-            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-
     def test_encoder_shape(self):
         b, t = 2, 13
         m = CBHG(k=4, bank_channels=16, proj_dims=(16, 16), highway_layers=2,
