@@ -156,6 +156,16 @@ class ModelConfig:
     # device trace (BASELINE.md MFU row): decoder-scan loop fusions move
     # 40 GB/step at saturated bandwidth.
     attention_energy: str = "xla"
+    # Remat policy for the decoder scan body when remat_decoder=True.
+    # "all" = jax.checkpoint default (recompute everything on backward);
+    # "save_attn" = save the (B, T_in, attention_dim) Bahdanau tanh tensor
+    # (jax.ad_checkpoint.checkpoint_name + save_only_these_names) so the
+    # backward pass reads it instead of recomputing it — the r5 device
+    # trace attributes most of the decoder scan's 40 GB/step loop-fusion
+    # traffic to exactly this tensor's recompute + dkeys accumulation.
+    # Costs S * B * T_in * attention_dim * 2 bytes of HBM (bf16: ~3.4 GB
+    # at the pod_dp recipe). A/B result in BASELINE.md (r5).
+    remat_policy: str = "all"
 
     @property
     def memory_dim(self) -> int:

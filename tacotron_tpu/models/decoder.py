@@ -22,6 +22,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -185,8 +186,12 @@ def _hoisted_teacher_forced(p, cfg: ModelConfig, frames_in, keys, memory,
         if fused_energy:
             scores = attention_energy(keys_c, q, v)
         else:
-            scores = jnp.squeeze(
-                jnp.tanh(keys_c + q[:, None, :]).astype(f32) @ v, -1)
+            e = jnp.tanh(keys_c + q[:, None, :])
+            if cfg.remat_policy == "save_attn":
+                # the name is what save_only_these_names targets; kept out
+                # of the default path so "all" stays bit-identical to r4
+                e = jax.ad_checkpoint.checkpoint_name(e, "attn_tanh")
+            scores = jnp.squeeze(e.astype(f32) @ v, -1)
         if mask is not None:
             scores = jnp.where(mask, scores, NEG_INF)
         align = jax.nn.softmax(scores, axis=-1)
@@ -202,7 +207,13 @@ def _hoisted_teacher_forced(p, cfg: ModelConfig, frames_in, keys, memory,
         return (h_att, ctx, tuple(new_hd)), (h, align)
 
     if cfg.remat_decoder:
-        step = jax.checkpoint(step, prevent_cse=False)
+        if cfg.remat_policy == "save_attn":
+            step = jax.checkpoint(
+                step, prevent_cse=False,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "attn_tanh"))
+        else:
+            step = jax.checkpoint(step, prevent_cse=False)
 
     carry0 = (
         jnp.zeros((b, cfg.attention_gru_dim), f32),

@@ -169,6 +169,43 @@ class TestRemat:
                         jax.tree_util.tree_leaves(outs[1][1])):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
+    def test_remat_policy_save_attn_same_loss_and_grads(self):
+        """model.remat_policy="save_attn" saves the Bahdanau tanh tensor
+        instead of recomputing it on backward (hoisted decoder) — a pure
+        memory/traffic schedule change: loss AND grads must match the
+        default recompute-everything policy exactly (the saved tensor is
+        numerically the tensor the default policy recomputes)."""
+        import dataclasses
+        text, lengths, mel = _batch()
+        base = dataclasses.replace(CFG, tf_decoder="hoisted",
+                                   remat_decoder=True)
+        outs = []
+        for pol in ("all", "save_attn"):
+            model = Tacotron(dataclasses.replace(base, remat_policy=pol),
+                             train=True)
+            variables = model.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                text, lengths, gt_mel=mel,
+            )
+
+            def loss_fn(params):
+                out, _ = model.apply(
+                    {"params": params,
+                     "batch_stats": variables["batch_stats"]},
+                    text, lengths, gt_mel=mel,
+                    rngs={"dropout": jax.random.PRNGKey(2)},
+                    mutable=["batch_stats"],
+                )
+                return jnp.mean(jnp.abs(out.mel - mel))
+
+            l, g = jax.value_and_grad(loss_fn)(variables["params"])
+            outs.append((float(l), g))
+        assert outs[0][0] == outs[1][0]
+        for a, b in zip(jax.tree_util.tree_leaves(outs[0][1]),
+                        jax.tree_util.tree_leaves(outs[1][1])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
 
 class TestGRUScanUnroll:
     def test_gru_unroll_full_model_bit_identical(self):
