@@ -16,6 +16,13 @@ TOTAL=${1:-50000}
 OUT=artifacts/alignment_r5
 RUN=artifacts/alignment_r5_work/run
 LOG=${2:-/tmp/r5_run}
+# Corpus size is overridable: the 25k-step probe on the initial 512-utt
+# corpus measured corpus-prompts 0.70 vs held-out 0.275 — a memorization
+# gap, not a rendering failure (errors are tail drift + off-grid pitch).
+# Resuming the same weights on a 4x corpus removes the memorization
+# capacity; with ~60 instances per character bigram the free-running
+# decode has to generalize.
+N_UTTS=${N_UTTS:-512}
 mkdir -p "$LOG"
 
 latest_step() {
@@ -35,7 +42,7 @@ for attempt in $(seq 1 40); do
   timeout 14400 python scripts/alignment_run.py \
     --preset full_1chip --set model.r=5 \
     --char-sec 0.06 --char-sec-jitter 0.3 \
-    --n-utts 512 --text-len 20 --batch-size 32 \
+    --n-utts "$N_UTTS" --text-len 20 --batch-size 32 \
     --steps "$left" --save-every 2500 --log-every 250 \
     --out "$OUT" --save-run "$RUN" $resume \
     >> "$LOG/train.log" 2>&1
