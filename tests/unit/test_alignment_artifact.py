@@ -73,11 +73,18 @@ ART_FULL = os.path.join(os.path.dirname(__file__), "..", "..",
 import pytest  # noqa: E402
 
 
-@pytest.mark.skipif(
-    not os.path.exists(os.path.join(ART_FULL, "final_alignments.npy")),
-    reason="full-model alignment artifact not yet committed")
-def test_full_model_alignment_artifact_is_a_monotonic_diagonal():
-    s, scores = _recompute(ART_FULL)
+ART_R5 = os.path.join(os.path.dirname(__file__), "..", "..",
+                      "artifacts", "alignment_r5")
+
+
+@pytest.mark.parametrize("art_dir", [ART_FULL, ART_R5],
+                         ids=["alignment_full", "alignment_r5"])
+def test_full_model_alignment_artifact_is_a_monotonic_diagonal(art_dir):
+    # alignment_r5: the r=5 renderable-regime flagship run (VERDICT r4
+    # next #1) — same gates, same recompute-from-raw protocol
+    if not os.path.exists(os.path.join(art_dir, "final_alignments.npy")):
+        pytest.skip("artifact not yet committed")
+    s, scores = _recompute(art_dir)
     diag = float(np.mean([x["diag_corr"] for x in scores]))
     mono = float(np.mean([x["monotonic_frac"] for x in scores]))
     assert diag >= DIAG_CORR_GATE, f"diag_corr_mean {diag}"
